@@ -1,0 +1,252 @@
+"""Dense graph ops for fixed-size relocalization graphs.
+
+TPU-first design note: the reference represents graphs sparsely
+(`edge_index: [2, E]` + CUDA scatter/gather via torch-geometric); our graphs
+are tiny and fixed-size (N = 8 nodes by default), so we represent a batch of
+graphs *densely*:
+
+    x    : [B, N, D]      node features
+    adj  : [B, N, N]      adjacency mask, adj[b, s, t] = edge s -> t exists
+    e    : [B, N, N, De]  edge features for every ordered pair
+
+All message passing then becomes masked dense einsums that XLA tiles onto the
+MXU, and dynamic kNN graph construction is an on-device top-k — no host sync,
+no scatter kernels (SURVEY.md §7 design mapping).
+
+Edge-order parity: the reference's eval loop depends on the *order* of edges
+in `edge_index` (it picks the first edge into node 0,
+testing/test.py:227-233); `fc_edge_index` reproduces the reference
+construction order exactly (dataset_7Scenes_multi.py:377-422) for parity
+checks, while the dense path uses order-free argmin/argmax reductions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# Static edge tables (host-side, numpy — these are compile-time constants)
+# ---------------------------------------------------------------------------
+
+
+def _roll_chain_edges(n: int, shift: int) -> np.ndarray:
+    """Edges (i, i+shift) for i in [0, n-shift): the reference builds graph
+    variants from `arange` + `roll` (dataset_7Scenes_multi.py:356-385)."""
+    src = np.arange(n - shift)
+    return np.stack([src, src + shift])
+
+
+def rnn_edge_index(n: int) -> np.ndarray:
+    """Chain graph (dataset_7Scenes_multi.py:356-359)."""
+    return _roll_chain_edges(n, 1)
+
+
+def circ_edge_index(n: int) -> np.ndarray:
+    """Ring graph (dataset_7Scenes_multi.py:360-363)."""
+    src = np.arange(n)
+    return np.stack([src, np.roll(src, -1)])
+
+
+def dilated_edge_index(n: int, dilation: int = 2) -> np.ndarray:
+    """Dilated ring (dataset_7Scenes_multi.py:364-367)."""
+    src = np.arange(n)
+    return np.stack([src, np.roll(src, -dilation)])
+
+
+def ho_edge_index(n: int, hoc: int = 2) -> np.ndarray:
+    """Higher-order chain: chords up to distance `hoc`
+    (dataset_7Scenes_multi.py:368-376)."""
+    return np.concatenate([_roll_chain_edges(n, s + 1) for s in range(hoc)],
+                          axis=1)
+
+
+def fc_edge_index(n: int, bidirectional: bool = True) -> np.ndarray:
+    """Fully-connected edge list in reference construction order.
+
+    Produces all (i, i+s) pairs grouped by increasing separation s, then the
+    flipped copies appended (dataset_7Scenes_multi.py:377-422).  For n=8 this
+    yields [2, 56].
+    """
+    e = np.concatenate([_roll_chain_edges(n, s + 1) for s in range(n - 1)],
+                       axis=1)
+    if bidirectional:
+        e = np.concatenate([e, e[::-1]], axis=1)
+    return e
+
+
+def fc_rand_edge_index(n: int, hoc: int = 2, rand_edge_factor: float = 0.2,
+                       rng: np.random.Generator | None = None) -> np.ndarray:
+    """'fc+rand': chords up to `hoc` plus random longer chords
+    (dataset_7Scenes_multi.py:393-415), bidirectionalized."""
+    rng = rng or np.random.default_rng()
+    parts = [_roll_chain_edges(n, s + 1) for s in range(hoc)]
+    for s in range(hoc, n - 1):
+        cand = _roll_chain_edges(n, s + 1)
+        keep = rng.random(cand.shape[1]) < rand_edge_factor
+        parts.append(cand[:, keep])
+    e = np.concatenate(parts, axis=1)
+    return np.concatenate([e, e[::-1]], axis=1)
+
+
+EDGE_BUILDERS = {
+    "rnn": rnn_edge_index,
+    "circ": circ_edge_index,
+    "dilated": dilated_edge_index,
+    "ho": ho_edge_index,
+    "fc": fc_edge_index,
+    "fc+rand": fc_rand_edge_index,
+}
+
+
+def build_edge_index(graph_structure: str, n: int) -> np.ndarray | None:
+    """Edge list for a named graph structure ('ind' -> no edges);
+    mirrors the dispatch at dataset_7Scenes_multi.py:353-415."""
+    if graph_structure == "ind":
+        return None
+    builder = EDGE_BUILDERS[graph_structure]
+    e = builder(n)
+    if graph_structure not in ("fc", "fc+rand"):  # those already flipped
+        e = np.concatenate([e, e[::-1]], axis=1)
+    return e
+
+
+def edge_index_to_adj(edge_index: np.ndarray, n: int) -> np.ndarray:
+    """[2, E] edge list -> dense [N, N] bool adjacency (adj[s, t])."""
+    adj = np.zeros((n, n), dtype=bool)
+    adj[edge_index[0], edge_index[1]] = True
+    return adj
+
+
+def fc_adjacency(n: int) -> np.ndarray:
+    """Dense fully-connected (no self-loop) adjacency [N, N]."""
+    return ~np.eye(n, dtype=bool)
+
+
+# ---------------------------------------------------------------------------
+# On-device graph ops (jittable)
+# ---------------------------------------------------------------------------
+
+
+def pairwise_sq_dists(x: jax.Array) -> jax.Array:
+    """Squared L2 distances between all node pairs.
+
+    x: [..., N, D] -> [..., N, N].  One batched matmul (MXU) plus rank-1
+    corrections — replaces the torch-cluster CUDA kNN kernel
+    (modules/posenet.py:1047-1048).
+    """
+    sq = jnp.sum(x * x, axis=-1)
+    inner = jnp.einsum("...nd,...md->...nm", x, x)
+    d = sq[..., :, None] - 2.0 * inner + sq[..., None, :]
+    return jnp.maximum(d, 0.0)
+
+
+def knn_adjacency(x: jax.Array, k: int) -> jax.Array:
+    """Dynamic kNN graph in feature space as a dense adjacency mask.
+
+    Matches `knn_graph(x, k, loop=False)` semantics
+    (modules/posenet.py:1043-1050): for each node t, edges (s -> t) from its
+    k nearest neighbors s (L2, self excluded).  Note the result is *not*
+    symmetric, exactly like torch-cluster's.
+
+    x: [..., N, D] -> bool adj [..., N, N] with adj[..., s, t].
+    """
+    n = x.shape[-2]
+    d = pairwise_sq_dists(x)
+    eye = jnp.eye(n, dtype=bool)
+    d = jnp.where(eye, jnp.inf, d)
+    # top-k smallest distances per *center* node t: operate on rows of d^T.
+    _, nbr = jax.lax.top_k(-jnp.swapaxes(d, -1, -2), k)  # [..., N(center), k]
+    adj_t = jax.nn.one_hot(nbr, n, dtype=bool).any(axis=-2)  # [..., t, s]
+    return jnp.swapaxes(adj_t, -1, -2)  # [..., s, t]
+
+
+def nearest_neighbor(x: jax.Array, node: int = 0) -> jax.Array:
+    """Index of the nearest neighbor (L2, self excluded) of `node`.
+
+    This is the dense-order-free equivalent of "the first kNN edge into the
+    query node" used to anchor absolute-pose recovery at eval time
+    (testing/test.py:227-233 picks `argwhere(edges[1] == 0)[0]`, and
+    torch-cluster lists each center's neighbors in ascending distance).
+
+    x: [..., N, D] -> int32 [...]
+    """
+    d = pairwise_sq_dists(x)
+    n = x.shape[-2]
+    row = d[..., :, node]  # distance from every s to the query node
+    row = jnp.where(jnp.arange(n) == node, jnp.inf, row)
+    return jnp.argmin(row, axis=-1)
+
+
+def relative_pose_targets(p: jax.Array) -> jax.Array:
+    """Dense relative-pose regression targets RP[s, t] = p[s] - p[t].
+
+    Replaces the per-edge Python loop `compute_RP`
+    (modules/posenet.py:1021-1031).  NOTE: this is the reference's
+    vector-difference convention on [t, logq] pose6 vectors, *not* a
+    geometric relative pose (SURVEY.md §7 hard parts) — reproduced exactly.
+
+    p: [..., N, D] -> [..., N, N, D]
+    """
+    return p[..., :, None, :] - p[..., None, :, :]
+
+
+def edge_pair_features(x: jax.Array) -> jax.Array:
+    """Initial edge features e0[s, t] = concat(x[min(s,t)], x[max(s,t)]).
+
+    Vectorized equivalent of `compute_edge_features`
+    (modules/posenet.py:999-1019) which indexes by the elementwise min/max of
+    the edge's endpoint indices: for s < t the feature is [x_s, x_t], for
+    s > t it is [x_t, x_s] — i.e. both directions of an undirected pair get
+    the same feature.
+
+    x: [..., N, D] -> [..., N, N, 2D]
+    """
+    n = x.shape[-2]
+    xs = jnp.broadcast_to(x[..., :, None, :], x.shape[:-2] + (n, n, x.shape[-1]))
+    xt = jnp.broadcast_to(x[..., None, :, :], x.shape[:-2] + (n, n, x.shape[-1]))
+    lower = (jnp.arange(n)[:, None] <= jnp.arange(n)[None, :])[..., None]
+    lo = jnp.where(lower, xs, xt)
+    hi = jnp.where(lower, xt, xs)
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
+def masked_mean_aggregate(msg: jax.Array, adj: jax.Array) -> jax.Array:
+    """Mean-aggregate messages over incoming edges.
+
+    msg: [..., N, N, D] message on each ordered pair (s, t)
+    adj: [..., N, N] mask (s -> t)
+    returns [..., N, D]: for each target t, mean over sources s with an edge;
+    zero for isolated nodes (scatter-mean semantics of torch-geometric
+    `aggr='mean'`, modules/my_gnn_layer.py:279/301).
+    """
+    m = adj.astype(msg.dtype)[..., None]
+    s = jnp.sum(msg * m, axis=-3)  # sum over source axis
+    cnt = jnp.sum(m, axis=-3)
+    return s / jnp.maximum(cnt, 1.0)
+
+
+def edge_dropout_mask(rng: jax.Array, n: int, keep_prob: float,
+                      batch_shape: tuple[int, ...] = ()) -> jax.Array:
+    """Symmetric random edge-keep mask over undirected pairs.
+
+    The reference drops each *undirected* edge of the fc graph with
+    p = 1 - keep_prob and applies the same mask to both directions
+    (training/train.py:238-247; mask drawn once per batch over E/2 edges and
+    tiled).  Dense equivalent: sample an upper-triangular Bernoulli mask and
+    mirror it.  Guarantees at least the diagonal-adjacent pair survives is
+    NOT enforced; the reference instead sets all-True when everything was
+    dropped — callers should handle via `ensure_nonempty`.
+    """
+    u = jax.random.uniform(rng, batch_shape + (n, n))
+    upper = jnp.triu(jnp.ones((n, n), dtype=bool), k=1)
+    keep_u = (u < keep_prob) & upper
+    return keep_u | jnp.swapaxes(keep_u, -1, -2)
+
+
+def ensure_nonempty(mask: jax.Array) -> jax.Array:
+    """If a graph's mask dropped every edge, restore them all
+    (training/train.py:240-241 semantics)."""
+    any_edge = jnp.any(mask, axis=(-1, -2), keepdims=True)
+    return jnp.where(any_edge, mask, jnp.ones_like(mask))
