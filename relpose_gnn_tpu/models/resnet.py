@@ -1,0 +1,92 @@
+"""Flax ResNet (NHWC, TPU-friendly) node encoder.
+
+Re-implementation of the torchvision `resnet34` backbone the reference uses
+(training/train.py:173, modules/posenet.py:941-945), with the classification
+head replaced by `AdaptiveAvgPool2d(1)` + `Linear(512, feat_dim)` exactly as
+the reference does.
+
+TPU design notes:
+  * NHWC layout (XLA's preferred conv layout on TPU).
+  * Optional bfloat16 compute dtype; parameters and BatchNorm statistics stay
+    float32 for stability.
+  * BatchNorm uses running statistics at eval; `momentum=0.9` here equals
+    torch's `momentum=0.1` convention (flax keeps `momentum` fraction of the
+    old stat).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class BasicBlock(nn.Module):
+    """torchvision BasicBlock: 3x3-BN-ReLU-3x3-BN + projection shortcut."""
+
+    filters: int
+    stride: int = 1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        norm = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name)
+        residual = x
+        y = nn.Conv(self.filters, (3, 3), strides=(self.stride, self.stride),
+                    padding=1, use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = norm("bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.filters, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
+        y = norm("bn2")(y)
+        if residual.shape[-1] != self.filters or self.stride != 1:
+            residual = nn.Conv(self.filters, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(residual)
+            residual = norm("downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet(nn.Module):
+    """Generic BasicBlock ResNet trunk + pooled linear projection head."""
+
+    stage_sizes: Sequence[int]
+    feat_dim: int = 2048
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        """x: [B, H, W, 3] NHWC -> [B, feat_dim]."""
+        x = x.astype(self.dtype or x.dtype)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        for stage, num_blocks in enumerate(self.stage_sizes):
+            filters = 64 * (2 ** stage)
+            for block in range(num_blocks):
+                stride = 2 if stage > 0 and block == 0 else 1
+                x = BasicBlock(filters, stride=stride, dtype=self.dtype,
+                               name=f"layer{stage + 1}_{block}")(x, train)
+
+        # AdaptiveAvgPool2d(1) + Linear(512 -> feat_dim)
+        # (modules/posenet.py:941-945); accumulate the mean in fp32.
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        return nn.Dense(self.feat_dim, name="fc")(x)
+
+
+def ResNet34(feat_dim: int = 2048, dtype: Any = None) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), feat_dim=feat_dim, dtype=dtype)
+
+
+def ResNet18(feat_dim: int = 2048, dtype: Any = None) -> ResNet:
+    return ResNet(stage_sizes=(2, 2, 2, 2), feat_dim=feat_dim, dtype=dtype)

@@ -137,7 +137,10 @@ def pairwise_sq_dists(x: jax.Array) -> jax.Array:
     (modules/posenet.py:1047-1048).
     """
     sq = jnp.sum(x * x, axis=-1)
-    inner = jnp.einsum("...nd,...md->...nm", x, x)
+    # full-precision matmul: kNN decisions are sensitive to cancellation in
+    # the ||a||^2 - 2ab + ||b||^2 form (bf16/tf32 fast paths lose ~1e-3 rel)
+    inner = jnp.einsum("...nd,...md->...nm", x, x,
+                       precision=jax.lax.Precision.HIGHEST)
     d = sq[..., :, None] - 2.0 * inner + sq[..., None, :]
     return jnp.maximum(d, 0.0)
 

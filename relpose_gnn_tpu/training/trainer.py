@@ -1,0 +1,184 @@
+"""Training loop: jitted, mesh-sharded train/eval steps.
+
+Re-designs `MultiModelTrainer` (training/train.py:42-346) as functional JAX:
+
+  * one jitted `train_step` (forward + loss + grads + Adam update) instead of
+    a Python loop body with per-batch H2D sync;
+  * batch sharded over the mesh `data` axis, params optionally tensor-parallel
+    over `model` (parallel/sharding.py) — the compiler inserts gradient
+    all-reduces over ICI;
+  * torch `Adam(lr, weight_decay)` == optax add_decayed_weights -> adam,
+    with the reference's step-decay schedule (x0.1 every `lr_decay_step`
+    epochs, train.py:224-227);
+  * learnable criterion weights (sax/saq) live in the same param tree and
+    optimizer, matching train.py:203-211.
+
+Quirk (train.py:238-247): the reference's train-time edge dropout masks only
+`data.edge_attr`, which the production model never reads — an effective
+no-op.  `edge_dropout_effective=False` (default) replicates that faithfully;
+setting it True applies the mask to the adjacency for real.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from relpose_gnn_tpu.models.posenet import RelPoseGNN, RelPoseGNNConfig
+from relpose_gnn_tpu.ops import graph as graph_ops
+from relpose_gnn_tpu.training import criterion as crit
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerConfig:
+    """Hyperparameters; defaults mirror train.py:44-77 and its argparse."""
+
+    lr: float = 1e-4
+    lr_decay: float = 0.1
+    lr_decay_step: int = 50          # epochs between decays (train.py:379)
+    weight_decay: float = 5e-4       # train.py:65
+    sax: float = 0.0                 # train.py:66
+    saq: float = -2.0                # argparse default (train.py:368)
+    srx: float = 0.0                 # train.py:68
+    srq: float = -2.0                # train.py:367
+    lambda_ap: float = 0.0           # absolute-pose loss weight (train.py:71)
+    use_vo_loss: bool = True         # train.py:60
+    edge_keep_factor: float = 0.5    # train.py:72
+    edge_dropout_effective: bool = False  # replicate the no-op quirk
+    steps_per_epoch: int = 1000
+    grad_accum: int = 1
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Callable = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(step=self.step + 1,
+                            params=optax.apply_updates(self.params, updates),
+                            opt_state=new_opt)
+
+
+def make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
+    """torch.optim.Adam semantics: L2 term added to the gradient before the
+    Adam moments, then step-decayed learning rate."""
+    schedule = optax.exponential_decay(
+        init_value=cfg.lr,
+        transition_steps=cfg.lr_decay_step * cfg.steps_per_epoch,
+        decay_rate=cfg.lr_decay,
+        staircase=True)
+    return optax.chain(
+        optax.add_decayed_weights(cfg.weight_decay),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale_by_learning_rate(schedule))
+
+
+def create_train_state(rng: jax.Array, model: RelPoseGNN, cfg: TrainerConfig,
+                       sample_images: jax.Array,
+                       sample_adj: jax.Array) -> TrainState:
+    variables = model.init({"params": rng, "dropout": rng},
+                           sample_images, sample_adj, train=False)
+    params = {"model": variables["params"],
+              "criterion": crit.init_criterion_params(cfg.sax, cfg.saq),
+              "criterion_R": crit.init_criterion_params(cfg.srx, cfg.srq)}
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    tx = make_optimizer(cfg)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=batch_stats,
+                      opt_state=tx.init(params), tx=tx,
+                      apply_fn=model.apply)
+
+
+def loss_fn(params, batch_stats, apply_fn, batch, dropout_rng,
+            cfg: TrainerConfig):
+    """Forward + homoscedastic relative-pose loss (train.py:255-264)."""
+    (pred_abs, pred_rel, adj, _aux), new_vars = apply_fn(
+        {"params": params["model"], "batch_stats": batch_stats},
+        batch["images"], batch["adj"], train=True,
+        rngs={"dropout": dropout_rng}, mutable=["batch_stats"])
+
+    target_rel = graph_ops.relative_pose_targets(batch["poses"])
+    loss_r, t_loss, q_loss = crit.pose_net_criterion(
+        params["criterion_R"], pred_rel, target_rel, mask=adj)
+
+    if cfg.use_vo_loss:
+        total = loss_r
+    else:
+        total, t_loss, q_loss = crit.pose_net_criterion(
+            params["criterion"], pred_abs, batch["poses"])
+    if cfg.lambda_ap > 0:
+        abs_loss, _, _ = crit.pose_net_criterion(
+            params["criterion"], pred_abs, batch["poses"])
+        total = total + cfg.lambda_ap * abs_loss
+
+    metrics = {"loss": total, "t_loss": t_loss, "q_loss": q_loss,
+               "sax_R": params["criterion_R"]["sax"],
+               "saq_R": params["criterion_R"]["saq"]}
+    return total, (new_vars["batch_stats"], metrics)
+
+
+def make_train_step(cfg: TrainerConfig):
+    """Build the jitted train step. Donates state for in-place updates."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: dict, rng: jax.Array):
+        drop_rng, edge_rng = jax.random.split(jax.random.fold_in(
+            rng, state.step))
+
+        if cfg.edge_dropout_effective:
+            n = batch["adj"].shape[-1]
+            keep = graph_ops.edge_dropout_mask(
+                edge_rng, n, cfg.edge_keep_factor,
+                batch_shape=batch["adj"].shape[:-2])
+            keep = graph_ops.ensure_nonempty(keep)
+            batch = dict(batch, adj=batch["adj"] & keep)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_bs, metrics)), grads = grad_fn(
+            state.params, state.batch_stats, state.apply_fn, batch,
+            drop_rng, cfg)
+        state = state.apply_gradients(grads).replace(batch_stats=new_bs)
+        return state, metrics
+
+    return train_step
+
+
+def make_eval_step(ref_node: int = 0):
+    """Build the jitted batched eval step.
+
+    Recovers the query's absolute pose from one predicted relative pose
+    anchored at the nearest database neighbor in feature space — the dense
+    equivalent of testing/test.py:227-233 (first kNN edge into node 0).
+    Returns per-graph (pred_pose6, target_pose6) for the query node; error
+    statistics are computed host-side in float64 by the evaluator.
+    """
+
+    @jax.jit
+    def eval_step(state: TrainState, batch: dict):
+        pred_abs, pred_rel, adj, aux = state.apply_fn(
+            {"params": state.params["model"],
+             "batch_stats": state.batch_stats},
+            batch["images"], batch["adj"], train=False)
+        feats = aux["node_feats"]
+        nbr = graph_ops.nearest_neighbor(feats, node=ref_node)  # [B]
+        b = pred_rel.shape[0]
+        rp = pred_rel[jnp.arange(b), nbr, ref_node]             # [B, 6]
+        anchor = batch["poses"][jnp.arange(b), nbr]             # GT neighbor
+        pred_query = anchor - rp                                # test.py:230
+        target_query = batch["poses"][:, ref_node]
+        return {"pred": pred_query, "target": target_query,
+                "pred_abs": pred_abs[:, ref_node], "nbr": nbr}
+
+    return eval_step

@@ -14,3 +14,6 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+# XLA:CPU's default matmul precision takes a bf16-class fast path (~1e-3 rel
+# error) that breaks comparisons against float64 numpy oracles.
+jax.config.update("jax_default_matmul_precision", "highest")
