@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Graph-construction CLI — the packed-array equivalent of
+`dataset_7Scenes_multi.py --scene ... --mode ...` (its main at :458-523) and
+`dataset_Cambridge_multi.py` (:309-343).
+
+For 7-Scenes, neighbors come from NetVLAD descriptor similarity (weights via
+--netvlad-checkpoint, converted from the released netvlad_vgg16.tar) or RAND
+mode.  For Cambridge, from classical ORB-VLAD (--vlad-index pickle built by
+cli/build_vlad_index.py) or RAND mode.
+"""
+
+import argparse
+import os.path as osp
+import sys
+
+import numpy as np
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser("relpose_gnn_tpu build_graphs")
+    p.add_argument("scene_name", type=str)
+    p.add_argument("mode", type=str, choices=("train", "test"))
+    p.add_argument("--dataset", type=str, default="7Scenes",
+                   choices=("7Scenes", "Cambridge"))
+    p.add_argument("--data-path", type=str, required=True,
+                   help="raw dataset root")
+    p.add_argument("--graph-data-path", type=str, required=True,
+                   help="output root for packed graph stores")
+    p.add_argument("--stats-path", type=str, default="",
+                   help="7-Scenes per-scene stats dir (data/7scenes)")
+    p.add_argument("--pose-stat-path", type=str, default="",
+                   help="Cambridge translation stats file")
+    p.add_argument("--seq-len", type=int, default=8)
+    p.add_argument("--sampling-period", "--sp", dest="sampling_period",
+                   type=int, default=None)
+    p.add_argument("--sampling-method", type=str, default="IR",
+                   choices=("IR", "RAND"))
+    p.add_argument("--cross-connect", action="store_true")
+    p.add_argument("--netvlad-checkpoint", type=str, default="")
+    p.add_argument("--vlad-index", type=str, default="")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+    if args.sampling_period is None:
+        args.sampling_period = 3 if args.dataset == "Cambridge" else 5
+
+    from relpose_gnn_tpu.data.graph_builder import (GraphBuilderConfig,
+                                                    build_graphs,
+                                                    self_exclusion_mask)
+    from relpose_gnn_tpu.data.seven_scenes import (SEVEN_SCENES, SevenScenes,
+                                                   load_scene_stats)
+    from relpose_gnn_tpu.data.cambridge import (CAMBRIDGE_SCENES,
+                                                CambridgeLandmark)
+
+    if args.scene_name == "multi":
+        scenes = (SEVEN_SCENES if args.dataset == "7Scenes"
+                  else CAMBRIDGE_SCENES)
+    else:
+        scenes = (args.scene_name,)
+
+    train = args.mode == "train"
+    total = 0
+    for scene in scenes:
+        if args.dataset == "7Scenes":
+            mean = std = None
+            if args.stats_path:
+                mean, std = load_scene_stats(args.stats_path, scene)
+            query = SevenScenes(scene, args.data_path, train=train,
+                                mean=mean, std=std)
+            database = (query if train else
+                        SevenScenes(scene, args.data_path, train=True,
+                                    mean=mean, std=std))
+            width = 341  # 640x480 -> Resize(256)
+        else:
+            query = CambridgeLandmark(
+                scene, args.data_path, train=train,
+                pose_stats_file=args.pose_stat_path, color_jitter=train)
+            database = (query if train else CambridgeLandmark(
+                scene, args.data_path, train=True,
+                pose_stats_file=args.pose_stat_path, color_jitter=train))
+            width = 455  # 1920x1080 -> Resize(256)
+
+        sim_fn = invalid_fn = None
+        if args.sampling_method == "IR":
+            sim_fn, invalid_fn = _retrieval_fns(args, scene, query, database)
+
+        out = osp.join(
+            args.graph_data_path,
+            f"{scene}_fc{args.seq_len}_sp{args.sampling_period}_"
+            f"{args.mode}")
+        cfg = GraphBuilderConfig(
+            seq_len=args.seq_len, sampling_period=args.sampling_period,
+            retrieval_mode=args.sampling_method,
+            cross_connect=args.cross_connect,
+            database_is_query_set=train, seed=args.seed)
+        n = build_graphs(query, database, out, cfg, similarity_fn=sim_fn,
+                         invalid_fn=invalid_fn, width=width)
+        print(f"{scene}: wrote {n} graphs -> {out}")
+        total += n
+    print(f"total graphs: {total}")
+
+
+def _retrieval_fns(args, scene, query_ds, database_ds):
+    """Build similarity/invalid callbacks for IR mode."""
+    n_db = len(database_ds)
+    db_is_q = args.mode == "train"
+
+    if args.dataset == "7Scenes":
+        from relpose_gnn_tpu.retrieval.netvlad_index import (
+            NetVLADIndex, imagenet_normalize)
+        variables = None
+        if args.netvlad_checkpoint:
+            from relpose_gnn_tpu.models import convert
+            sd = convert.load_torch_state_dict(args.netvlad_checkpoint)
+            variables = {"params": convert.convert_netvlad(sd)}
+        index = NetVLADIndex(variables=variables)
+
+        def embed_all(ds):
+            imgs = []
+            for i in range(len(ds)):
+                x = ds.load_image(i)
+                imgs.append(imagenet_normalize(_resize_hw(x, 192, 256)))
+            return index.embed(np.stack(imgs))
+
+        db_desc = embed_all(database_ds)
+        q_desc = db_desc if db_is_q else embed_all(query_ds)
+
+        def sim_fn(qi):
+            return db_desc @ q_desc[qi]
+    else:
+        from relpose_gnn_tpu.retrieval.vlad import (VLADIndex,
+                                                    orb_descriptors)
+        index = VLADIndex.load(args.vlad_index)
+
+        def sim_fn(qi):
+            from PIL import Image
+            img = np.asarray(Image.open(query_ds.c_imgs[qi]).convert("RGB"))
+            desc = orb_descriptors(img)
+            if desc is None:
+                return np.zeros(n_db)
+            q = index.describe(np.asarray(desc, np.float32))
+            return index.descriptors @ q
+
+    def invalid_fn(qi):
+        return self_exclusion_mask(n_db, qi, db_is_q,
+                                   cross_connect=args.cross_connect,
+                                   group_len=None)
+
+    return sim_fn, invalid_fn
+
+
+def _resize_hw(x: np.ndarray, h: int, w: int) -> np.ndarray:
+    from PIL import Image
+    img = Image.fromarray((np.clip(x, 0, 1) * 255).astype(np.uint8))
+    return np.asarray(img.resize((w, h), Image.BILINEAR),
+                      np.float32) / 255.0
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,50 @@
+#!/usr/bin/env python
+"""Evaluation CLI — mirrors `python/niantic/testing/test.py` (argparse at
+test.py:289-317): load a checkpoint, evaluate per scene, export npz
+predictions with median errors in the filename."""
+
+import argparse
+import sys
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser("relpose_gnn_tpu test")
+    p.add_argument("--dataset", type=str, default="7Scenes",
+                   choices=("7Scenes", "Cambridge"))
+    p.add_argument("--test-scene", type=str, default="multi")
+    p.add_argument("--test-data-dir", type=str, required=True)
+    p.add_argument("--save-dir", type=str, default="outputs")
+    p.add_argument("--weights-filename", type=str, required=True,
+                   help=".pth.tar (converted on load) or an Orbax ckpt dir")
+    p.add_argument("--pose-stat-path", type=str, default="")
+    p.add_argument("--model-name", type=str, default="R3")
+    p.add_argument("--batch-size", type=int, default=64,
+                   help="eval batch (the reference is fixed at 1)")
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--knn", default=4, type=int)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=("bfloat16", "float32"))
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+    from relpose_gnn_tpu.training.experiment import (ExperimentConfig,
+                                                     run_eval)
+    cfg = ExperimentConfig(
+        dataset=args.dataset, test_scene=args.test_scene,
+        train_data_dir=args.test_data_dir,
+        test_data_dir=args.test_data_dir, save_dir=args.save_dir,
+        exp_name="eval", model_name=args.model_name,
+        batch_size=args.batch_size, seed=args.seed, knn=args.knn,
+        weights_filename=args.weights_filename,
+        pose_stats_file=args.pose_stat_path, dtype=args.dtype,
+        experiment=2, train_scene=args.test_scene)
+    results = run_eval(cfg)
+    for scene, err in results.items():
+        print(f"{scene}: median t {err.median_t:.3f} m, "
+              f"median rot {err.median_q:.2f} deg")
+
+
+if __name__ == "__main__":
+    main()

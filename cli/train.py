@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Training CLI — mirrors the reference's `python/niantic/training/train.py`
+argparse surface (train.py:349-392) on the TPU-native stack.
+
+Example:
+   python cli/train.py --dataset 7Scenes \
+     --train-data-dir /data/graphs/ --test-data-dir /data/graphs/ \
+     --save-dir outputs --experiment 0 --test-scene multi
+"""
+
+import argparse
+import sys
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser("relpose_gnn_tpu train")
+    p.add_argument("--experiment", type=int, default=0,
+                   help="0 multi-scene, 1 leave-one-out, 2 single-scene")
+    p.add_argument("--dataset", type=str, default="Cambridge",
+                   choices=("7Scenes", "Cambridge"))
+    p.add_argument("--train-scene", type=str, default="multi")
+    p.add_argument("--test-scene", type=str, default="multi")
+    p.add_argument("--train-data-dir", type=str, required=True)
+    p.add_argument("--test-data-dir", type=str, required=True)
+    p.add_argument("--save-dir", type=str, default="outputs")
+    p.add_argument("--weights-filename", type=str, default="")
+    p.add_argument("--pose-stat-path", type=str, default="")
+    p.add_argument("--model-name", type=str, default="R3",
+                   choices=("R1", "R2", "R3"))
+    p.add_argument("--srq", type=float, default=-2.0)
+    p.add_argument("--saq", type=float, default=-2.0)
+    p.add_argument("--droprate", type=float, default=0.5)
+    p.add_argument("--gnn-recursion", type=int, default=2)
+    p.add_argument("--lambda-AP", dest="lambda_ap", type=float, default=0.0)
+    p.add_argument("--max-epoch", type=int, default=200)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--exp-name", default=None, type=str)
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--knn", default=4, type=int)
+    p.add_argument("--lr", default=1e-4, type=float)
+    p.add_argument("--lr-decay-step", default=50, type=int)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=("bfloat16", "float32"))
+    args = p.parse_args(argv)
+    if args.exp_name is None:  # naming scheme of train.py:384-390
+        if args.experiment == 2:
+            args.exp_name = (f"{args.dataset}_single_w_{args.train_scene}"
+                             f"_w_test_{args.test_scene}_seed_{args.seed}")
+        elif args.experiment == 1:
+            args.exp_name = (f"{args.dataset}_multi_wo_{args.test_scene}"
+                             f"_w_test_{args.test_scene}_seed_{args.seed}")
+        else:
+            args.exp_name = (f"{args.dataset}_multi_w_test_"
+                             f"{args.test_scene}_seed_{args.seed}")
+    return args
+
+
+def main(argv=None):
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+    from relpose_gnn_tpu.training.experiment import (ExperimentConfig,
+                                                     run_training)
+    cfg = ExperimentConfig(
+        dataset=args.dataset, experiment=args.experiment,
+        train_scene=args.train_scene, test_scene=args.test_scene,
+        train_data_dir=args.train_data_dir,
+        test_data_dir=args.test_data_dir, save_dir=args.save_dir,
+        exp_name=args.exp_name, model_name=args.model_name,
+        batch_size=args.batch_size, max_epoch=args.max_epoch,
+        seed=args.seed, knn=args.knn, droprate=args.droprate,
+        gnn_recursion=args.gnn_recursion, lr=args.lr,
+        lr_decay_step=args.lr_decay_step, srq=args.srq, saq=args.saq,
+        lambda_ap=args.lambda_ap, weights_filename=args.weights_filename,
+        pose_stats_file=args.pose_stat_path, dtype=args.dtype)
+    out = run_training(cfg)
+    for scene, b in out["best"].items():
+        print(f"{scene}: best median t {b['median_t']:.3f} m, "
+              f"best median rot {b['median_q']:.2f} deg")
+
+
+if __name__ == "__main__":
+    main()

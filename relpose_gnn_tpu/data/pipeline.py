@@ -1,0 +1,95 @@
+"""Input pipeline: shuffled batching + background host threads + device
+prefetch with on-device normalization.
+
+Replaces the torch DataLoader worker-pool (train.py:132-134, num_workers=8)
+with a double-buffered prefetcher: a host thread assembles the next batches
+from the packed memmaps while the device computes, and uint8 -> normalized
+float conversion runs on device (jitted), so the host only ever moves raw
+bytes (4x less PCIe/DMA traffic than the reference's float32 tensors).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def make_normalizer(mean: np.ndarray, std: np.ndarray):
+    """Jitted on-device uint8 -> normalized float32 [B, N, H, W, 3]."""
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+
+    @jax.jit
+    def normalize(images_u8: jax.Array) -> jax.Array:
+        x = images_u8.astype(jnp.float32)
+        if images_u8.dtype == jnp.uint8:
+            x = x / 255.0
+        return (x - mean) / std
+
+    return normalize
+
+
+def batch_indices(rng: np.random.Generator, n: int, batch_size: int,
+                  shuffle: bool, drop_remainder: bool = True
+                  ) -> Iterator[np.ndarray]:
+    order = rng.permutation(n) if shuffle else np.arange(n)
+    end = n - (n % batch_size) if drop_remainder else n
+    for i in range(0, end, batch_size):
+        yield order[i:i + batch_size]
+
+
+def data_iterator(dataset, batch_size: int, seed: int = 0,
+                  shuffle: bool = True, epochs: int | None = 1,
+                  drop_remainder: bool = True) -> Iterator[dict]:
+    """Host-side batch iterator over a Packed/Concat dataset."""
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        rng = np.random.default_rng(seed + epoch)
+        for idx in batch_indices(rng, len(dataset), batch_size, shuffle,
+                                 drop_remainder):
+            yield dataset.batch(idx)
+        epoch += 1
+
+
+def device_prefetch(host_iter: Iterator[dict], mean: np.ndarray,
+                    std: np.ndarray, prefetch: int = 2,
+                    sharding=None) -> Iterator[dict]:
+    """Background thread stages batches onto the device ahead of compute.
+
+    Yields batches with `images` already normalized float32 on device.
+    `sharding`: optional dict of key -> jax.sharding.Sharding for multi-chip.
+    """
+    normalize = make_normalizer(mean, std)
+    q: queue.Queue = queue.Queue(maxsize=prefetch)
+    _SENTINEL = object()
+
+    def put_device(batch: dict) -> dict:
+        out = {}
+        for k, v in batch.items():
+            arr = jnp.asarray(v)
+            if sharding is not None and k in sharding:
+                arr = jax.device_put(arr, sharding[k])
+            out[k] = arr
+        out["images"] = normalize(out["images"])
+        return out
+
+    def worker():
+        try:
+            for batch in host_iter:
+                q.put(put_device(batch))
+        finally:
+            q.put(_SENTINEL)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            break
+        yield item

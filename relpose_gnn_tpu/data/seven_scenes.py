@@ -1,0 +1,117 @@
+"""7-Scenes dataset parser.
+
+Re-implementation of `SevenScenes` (datasets/seven_scenes.py:17-174):
+  * splits from `TrainSplit.txt` / `TestSplit.txt` ("sequenceN" lines,
+    comments skipped);
+  * per-frame 4x4 pose files `frame-%06d.pose.txt` (first 12 values of the
+    flattened matrix);
+  * tolerates both flat `seq-NN/` layouts and the `rgb/ depth/ poses/`
+    sub-layout (:61-73);
+  * poses converted to pose6 `[t, logq]` via `process_poses`;
+  * corrupt images: `load_image` -> None with skip-forward handled by the
+    caller/pipeline (the reference loops forward inside __getitem__,
+    :126-144).
+
+Scene constants mirror train.py:88 / dataset_7Scenes_multi.py:80-110.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import os.path as osp
+from pathlib import Path
+
+import numpy as np
+
+from relpose_gnn_tpu.data import transforms as T
+from relpose_gnn_tpu.ops.pose import process_poses
+
+SEVEN_SCENES = ("heads", "chess", "redkitchen", "pumpkin", "office", "fire",
+                "stairs")
+
+# leave-one-out file-index ranges of the prebuilt multi-scene graph store
+# (dataset_7Scenes_multi.py:80-110)
+SCENE_FILE_INDEX_RANGES = {
+    "heads": (-1, 1000),
+    "chess": (999, 5000),
+    "redkitchen": (4999, 12000),
+    "pumpkin": (11999, 16000),
+    "office": (15999, 22000),
+    "fire": (21999, 24000),
+    "stairs": (23999, 26000),
+}
+
+
+@dataclasses.dataclass
+class SevenScenes:
+    """Lazy image/pose dataset for one scene."""
+
+    scene: str
+    data_path: str
+    train: bool
+    image_size: int = 256
+    mean: np.ndarray | None = None  # per-scene stats normalization
+    std: np.ndarray | None = None
+
+    def __post_init__(self):
+        base = osp.join(osp.expanduser(str(self.data_path)), self.scene)
+        split = "TrainSplit.txt" if self.train else "TestSplit.txt"
+        with open(osp.join(base, split)) as f:
+            seqs = [int(line.split("sequence")[-1]) for line in f
+                    if not line.startswith("#")]
+
+        self.c_imgs: list[str] = []
+        self.d_imgs: list[str] = []
+        raw_poses = []
+        for seq in seqs:
+            seq_dir = osp.join(base, f"seq-{seq:02d}")
+            if not osp.isfile(osp.join(seq_dir, "frame-000000.color.png")):
+                pose_dir = osp.join(seq_dir, "poses")
+                rgb_dir = osp.join(seq_dir, "rgb")
+                depth_dir = osp.join(seq_dir, "depth")
+            else:
+                pose_dir = rgb_dir = depth_dir = seq_dir
+            n_frames = len([n for n in os.listdir(pose_dir)
+                            if "pose.txt" in n])
+            for i in range(n_frames):
+                pose = np.loadtxt(
+                    osp.join(pose_dir, f"frame-{i:06d}.pose.txt"))
+                raw_poses.append(pose.flatten()[:12])
+                self.c_imgs.append(
+                    osp.join(rgb_dir, f"frame-{i:06d}.color.png"))
+                self.d_imgs.append(
+                    osp.join(depth_dir, f"frame-{i:06d}.depth.png"))
+
+        raw = np.asarray(raw_poses)
+        # identity alignment / no normalization (seven_scenes.py:112-124)
+        self.poses = process_poses(raw, np.zeros(3), np.ones(3),
+                                   np.eye(3), np.zeros(3), 1.0
+                                   ).astype(np.float32)
+
+    def __len__(self) -> int:
+        return len(self.poses)
+
+    def load_image(self, index: int) -> np.ndarray | None:
+        return T.load_and_preprocess(self.c_imgs[index], self.image_size,
+                                     self.mean, self.std)
+
+    def __getitem__(self, index: int):
+        """(image [H, W, 3] f32, pose6 [6], relative path); skips forward
+        over corrupt images like the reference (:131-137)."""
+        img = None
+        while img is None:
+            img = self.load_image(index)
+            pose = self.poses[index]
+            path = self.c_imgs[index]
+            index += 1
+        rel = str(Path(path).relative_to(self.data_path))
+        return img, pose, rel
+
+
+def load_scene_stats(stats_dir: str, scene: str) -> tuple[np.ndarray,
+                                                          np.ndarray]:
+    """Per-scene RGB stats file 'stats.txt' (mean row, var row) ->
+    (mean, std=sqrt(var)) as used at dataset_7Scenes_multi.py:290-298."""
+    stats = np.loadtxt(osp.join(stats_dir, scene, "stats.txt"))
+    return stats[0].astype(np.float32), np.sqrt(stats[1]).astype(np.float32)

@@ -59,10 +59,18 @@ def qexp(w: jax.Array) -> jax.Array:
     Matches the numpy reference `qexp` (pose_utils.py:340-348), which uses
     `sinc` and is exact at ||w|| == 0 (identity quaternion), rather than the
     clamped torch variant `qexp_t` (pose_utils.py:73-84).
+
+    Differentiation-safe at w == 0 (the norm's sqrt is guarded with a
+    constant floor so `jacfwd` at the identity increment — the PGO
+    linearization point, ops/pgo.py — stays finite).
     """
-    n = jnp.linalg.norm(w, axis=-1, keepdims=True)
-    # jnp.sinc(x) = sin(pi x)/(pi x); sinc(n/pi) = sin(n)/n, == 1 at n=0.
-    return jnp.concatenate([jnp.cos(n), jnp.sinc(n / jnp.pi) * w], axis=-1)
+    n2 = jnp.sum(w * w, axis=-1, keepdims=True)
+    small = n2 < _EPS * _EPS
+    n = jnp.sqrt(jnp.maximum(n2, _EPS * _EPS))
+    cos = jnp.where(small, 1.0 - 0.5 * n2, jnp.cos(n))
+    # sin(n)/n with second-order Taylor in the small branch
+    sinc = jnp.where(small, 1.0 - n2 / 6.0, jnp.sin(n) / n)
+    return jnp.concatenate([cos, sinc * w], axis=-1)
 
 
 def qlog(q: jax.Array) -> jax.Array:
@@ -72,9 +80,10 @@ def qlog(q: jax.Array) -> jax.Array:
     the vector part vanishes, else `arccos(q0) * v / ||v||`.
     """
     v = q[..., 1:]
-    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    n = jnp.sqrt(jnp.maximum(n2, _EPS * _EPS))
     ang = jnp.arccos(jnp.clip(q[..., :1], -1.0, 1.0))
-    return jnp.where(n < _EPS, jnp.zeros_like(v), ang * v / jnp.maximum(n, _EPS))
+    return jnp.where(n2 < _EPS * _EPS, jnp.zeros_like(v), ang * v / n)
 
 
 def rotate_vec_by_q(t: jax.Array, q: jax.Array) -> jax.Array:

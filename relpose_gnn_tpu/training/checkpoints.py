@@ -1,0 +1,95 @@
+"""Orbax checkpointing: params + optimizer state + step (true resume).
+
+The reference saves `{epoch, model/optim/criterion state_dicts}` at epochs
+149/199 only and restores *weights only* — no true resume
+(utils/utils.py:22-31, train.py:214-219; SURVEY.md §5).  Here:
+  * `save_checkpoint` persists the full TrainState (params incl. criterion
+    scalars, BN stats, optimizer moments, step) via Orbax;
+  * `restore_checkpoint` resumes exactly;
+  * `load_torch_weights` warm-starts model weights from a converted
+    reference `.pth.tar` (the parity path for released checkpoints).
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from relpose_gnn_tpu.models import convert as tconvert
+
+
+def _manager(logdir: str, max_to_keep: int = 5) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(
+        osp.abspath(logdir),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                             create=True))
+
+
+def save_checkpoint(logdir: str, state, epoch: int,
+                    max_to_keep: int = 5) -> None:
+    """Persist the full train state under `logdir/<epoch>/`."""
+    mgr = _manager(logdir, max_to_keep)
+    payload = {"params": state.params,
+               "batch_stats": state.batch_stats,
+               "opt_state": state.opt_state,
+               "step": state.step}
+    mgr.save(epoch, args=ocp.args.StandardSave(payload))
+    mgr.wait_until_finished()
+    mgr.close()
+
+
+def latest_epoch(logdir: str) -> int | None:
+    if not osp.isdir(logdir):
+        return None
+    mgr = _manager(logdir)
+    step = mgr.latest_step()
+    mgr.close()
+    return step
+
+
+def restore_checkpoint(logdir: str, state, epoch: int | None = None):
+    """Restore a TrainState saved by `save_checkpoint` (exact resume)."""
+    mgr = _manager(logdir)
+    if epoch is None:
+        epoch = mgr.latest_step()
+        assert epoch is not None, f"no checkpoints in {logdir}"
+    template = {"params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+                "step": state.step}
+    restored = mgr.restore(epoch,
+                           args=ocp.args.StandardRestore(template))
+    mgr.close()
+    return state.replace(params=restored["params"],
+                         batch_stats=restored["batch_stats"],
+                         opt_state=restored["opt_state"],
+                         step=restored["step"])
+
+
+def load_torch_weights(state, pth_path: str, stage_sizes=(3, 4, 6, 3)):
+    """Warm-start model params (and BN stats) from a reference checkpoint;
+    optimizer state is left fresh — the same semantics as train.py:214-219."""
+    sd = tconvert.load_torch_state_dict(pth_path)
+    params, batch_stats = tconvert.convert_relpose_gnn(sd, stage_sizes)
+
+    def _merge(dst, src):
+        """Copy src leaves into dst tree (dst defines the full structure)."""
+        out = dict(dst)
+        for k, v in src.items():
+            if isinstance(v, dict) and k in out and isinstance(out[k], dict):
+                out[k] = _merge(out[k], v)
+            else:
+                out[k] = jax.tree.map(
+                    lambda s: np.asarray(s, np.float32), v)
+        return out
+
+    new_model = _merge(dict(state.params["model"]), params)
+    new_stats = _merge(dict(state.batch_stats), {"encoder":
+                                                 batch_stats["encoder"]})
+    new_params = dict(state.params)
+    new_params["model"] = new_model
+    return state.replace(params=new_params, batch_stats=new_stats)

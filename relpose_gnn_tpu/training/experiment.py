@@ -1,0 +1,206 @@
+"""Experiment orchestration: datasets + model + loops, mirroring the
+reference CLI surface (training/train.py:349-458, testing/test.py:289-353).
+
+Scene-list logic replicates train.py:87-106 (experiment 0 = multi-scene,
+1 = leave-one-out, 2 = single-scene); dataset roots follow the
+`<scene>_fc8_sp{5|3}_{train|test}` layout (train.py:115-127) but point at
+packed-array stores (data/packed.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os.path as osp
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from relpose_gnn_tpu.data.cambridge import CAMBRIDGE_SCENES
+from relpose_gnn_tpu.data.packed import (ConcatPackedDataset,
+                                         PackedGraphDataset)
+from relpose_gnn_tpu.data.pipeline import data_iterator, device_prefetch
+from relpose_gnn_tpu.data.seven_scenes import SEVEN_SCENES
+from relpose_gnn_tpu.evaluation.evaluator import (compute_pose_errors,
+                                                  save_poses)
+from relpose_gnn_tpu.models.posenet import RelPoseGNN, RelPoseGNNConfig
+from relpose_gnn_tpu.training import checkpoints as ckpt
+from relpose_gnn_tpu.training.trainer import (TrainerConfig,
+                                              create_train_state,
+                                              make_eval_step,
+                                              make_train_step)
+from relpose_gnn_tpu.utils.logging import MetricsWriter, get_logger
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    dataset: str = "7Scenes"           # '7Scenes' | 'Cambridge'
+    experiment: int = 0                # 0 multi, 1 leave-one-out, 2 single
+    train_scene: str = "multi"
+    test_scene: str = "multi"
+    train_data_dir: str = ""
+    test_data_dir: str = ""
+    save_dir: str = "outputs"
+    exp_name: str = "exp"
+    model_name: str = "R3"
+    batch_size: int = 8                # train.py:55
+    seq_len: int = 8
+    max_epoch: int = 200
+    eval_after_epoch: int = 100        # train.py:421
+    ckpt_epochs: tuple = (149, 199)    # train.py:425
+    seed: int = 0
+    knn: int = 4
+    droprate: float = 0.5
+    gnn_recursion: int = 2
+    lr: float = 1e-4
+    lr_decay_step: int = 50
+    srq: float = -2.0
+    saq: float = -2.0
+    lambda_ap: float = 0.0
+    weights_filename: str = ""
+    pose_stats_file: str = ""          # Cambridge translation stats
+    dtype: str = "bfloat16"
+
+
+def scene_lists(cfg: ExperimentConfig) -> tuple[list[str], list[str]]:
+    """(training_scenes, test_scenes) per train.py:87-106."""
+    all_scenes = list(SEVEN_SCENES if cfg.dataset == "7Scenes"
+                      else CAMBRIDGE_SCENES)
+    if cfg.experiment in (0, 1):
+        train_scenes = list(all_scenes)
+        if cfg.experiment == 1:
+            train_scenes.remove(cfg.test_scene)
+    else:
+        train_scenes = [cfg.train_scene]
+    test_scenes = (all_scenes if cfg.test_scene == "multi"
+                   else [cfg.test_scene])
+    return train_scenes, test_scenes
+
+
+def dataset_root(data_dir: str, scene: str, dataset: str, split: str) -> str:
+    sp = 3 if dataset == "Cambridge" else 5  # train.py:112
+    return osp.join(data_dir, f"{scene}_fc8_sp{sp}_{split}")
+
+
+def load_datasets(cfg: ExperimentConfig):
+    train_scenes, test_scenes = scene_lists(cfg)
+    train_ds = ConcatPackedDataset([
+        PackedGraphDataset(dataset_root(cfg.train_data_dir, s, cfg.dataset,
+                                        "train"))
+        for s in train_scenes])
+    test_ds = {s: PackedGraphDataset(
+        dataset_root(cfg.test_data_dir, s, cfg.dataset, "test"))
+        for s in test_scenes}
+    return train_ds, test_ds
+
+
+def build_model(cfg: ExperimentConfig) -> RelPoseGNN:
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else None
+    mcfg = RelPoseGNNConfig.preset(
+        cfg.model_name if cfg.model_name in ("R1", "R2", "R3") else "R3",
+        num_nodes=cfg.seq_len, knn=cfg.knn, droprate=cfg.droprate,
+        gnn_recursion=cfg.gnn_recursion, dtype=dtype)
+    return RelPoseGNN(mcfg)
+
+
+def pose_stats(cfg: ExperimentConfig):
+    if cfg.dataset == "Cambridge" and cfg.pose_stats_file:
+        mean_t, std_t = np.loadtxt(cfg.pose_stats_file)
+        return np.asarray(mean_t), np.asarray(std_t)
+    return np.zeros(3), np.ones(3)  # train.py:140-144
+
+
+def evaluate_scene(eval_step, state, ds: PackedGraphDataset,
+                   batch_size: int, mean_t, std_t):
+    it = data_iterator(ds, batch_size=batch_size, shuffle=False, epochs=1,
+                       drop_remainder=False)
+    preds, targs = [], []
+    for batch in device_prefetch(it, ds.mean, ds.std):
+        out = eval_step(state, batch)
+        preds.append(np.asarray(out["pred"]))
+        targs.append(np.asarray(out["target"]))
+    return compute_pose_errors(np.concatenate(preds), np.concatenate(targs),
+                               pose_mean=mean_t, pose_std=std_t)
+
+
+def run_training(cfg: ExperimentConfig) -> dict:
+    logdir = Path(cfg.save_dir) / cfg.dataset / cfg.train_scene / cfg.exp_name
+    logger = get_logger(logfile=str(logdir / "logger.log"))
+    metrics_out = MetricsWriter(str(logdir / "metrics.jsonl"))
+
+    train_ds, test_ds = load_datasets(cfg)
+    steps_per_epoch = max(1, len(train_ds) // cfg.batch_size)
+    tcfg = TrainerConfig(lr=cfg.lr, lr_decay_step=cfg.lr_decay_step,
+                         saq=cfg.saq, srq=cfg.srq, lambda_ap=cfg.lambda_ap,
+                         steps_per_epoch=steps_per_epoch)
+    model = build_model(cfg)
+
+    sample = train_ds.batch(np.arange(min(2, len(train_ds))))
+    state = create_train_state(
+        jax.random.PRNGKey(cfg.seed), model, tcfg,
+        jnp.asarray(sample["images"], jnp.float32), jnp.asarray(sample["adj"]))
+    if cfg.weights_filename and osp.isfile(cfg.weights_filename):
+        state = ckpt.load_torch_weights(state, cfg.weights_filename)
+        logger.info("Loaded weights from %s", cfg.weights_filename)
+
+    train_step = make_train_step(tcfg)
+    eval_step = make_eval_step(ref_node=0)
+    mean_t, std_t = pose_stats(cfg)
+    rng = jax.random.PRNGKey(cfg.seed)
+
+    best = {s: {"median_t": 1e6, "median_q": 1e6} for s in test_ds}
+    for epoch in range(cfg.max_epoch):
+        it = data_iterator(train_ds, batch_size=cfg.batch_size,
+                           seed=cfg.seed + epoch, epochs=1)
+        for batch in device_prefetch(it, train_ds.mean, train_ds.std):
+            state, m = train_step(state, batch, rng)
+        metrics_out.write(int(state.step), m, epoch=epoch)
+        logger.info("[epoch %04d] loss=%.4f t=%.4f q=%.4f", epoch,
+                    float(m["loss"]), float(m["t_loss"]),
+                    float(m["q_loss"]))
+
+        if epoch in cfg.ckpt_epochs:
+            ckpt.save_checkpoint(str(logdir / "ckpt"), state, epoch)
+        if epoch > cfg.eval_after_epoch:
+            for s, ds in test_ds.items():
+                err = evaluate_scene(eval_step, state, ds, cfg.batch_size,
+                                     mean_t, std_t)
+                logger.info("[scene %s epoch %04d] %s", s, epoch, err)
+                best[s]["median_t"] = min(best[s]["median_t"], err.median_t)
+                best[s]["median_q"] = min(best[s]["median_q"], err.median_q)
+    return {"state": state, "best": best}
+
+
+def run_eval(cfg: ExperimentConfig, weights: str | None = None,
+             save_predictions: bool = True) -> dict:
+    logdir = Path(cfg.save_dir) / cfg.dataset / cfg.test_scene / cfg.exp_name
+    logger = get_logger(logfile=str(logdir / "eval.log"))
+    _, test_ds = load_datasets(cfg)
+    model = build_model(cfg)
+    tcfg = TrainerConfig()
+
+    any_ds = next(iter(test_ds.values()))
+    sample = any_ds.batch(np.arange(min(2, len(any_ds))))
+    state = create_train_state(
+        jax.random.PRNGKey(cfg.seed), model, tcfg,
+        jnp.asarray(sample["images"], jnp.float32), jnp.asarray(sample["adj"]))
+    weights = weights or cfg.weights_filename
+    if weights and osp.isfile(weights):
+        if weights.endswith((".pth", ".pth.tar", ".tar")):
+            state = ckpt.load_torch_weights(state, weights)
+        else:
+            state = ckpt.restore_checkpoint(weights, state)
+        logger.info("Loaded weights from %s", weights)
+
+    eval_step = make_eval_step(ref_node=0)
+    mean_t, std_t = pose_stats(cfg)
+    results = {}
+    for s, ds in test_ds.items():
+        err = evaluate_scene(eval_step, state, ds, cfg.batch_size, mean_t,
+                             std_t)
+        logger.info("[scene %s] %s", s, err)
+        if save_predictions:
+            save_poses(str(logdir), s, err)
+        results[s] = err
+    return results

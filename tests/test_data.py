@@ -1,0 +1,287 @@
+"""Data layer tests: parsers on synthetic on-disk fixtures, packed dataset
+roundtrip, graph builder, pipeline."""
+
+import json
+import os
+import os.path as osp
+
+import numpy as np
+import pytest
+from PIL import Image
+from scipy.spatial.transform import Rotation
+
+from relpose_gnn_tpu.data import transforms as T
+from relpose_gnn_tpu.data.cambridge import CambridgeLandmark
+from relpose_gnn_tpu.data.graph_builder import (
+    GraphBuilderConfig, build_graphs, self_exclusion_mask)
+from relpose_gnn_tpu.data.packed import (
+    ConcatPackedDataset, PackedGraphDataset, PackedGraphWriter)
+from relpose_gnn_tpu.data.pipeline import data_iterator, device_prefetch
+from relpose_gnn_tpu.data.seven_scenes import SevenScenes
+
+
+def write_7scenes_fixture(root, scene="chess", n_seqs=2, n_frames=4,
+                          train=True, size=(64, 48)):
+    rng = np.random.default_rng(0)
+    base = osp.join(root, scene)
+    os.makedirs(base, exist_ok=True)
+    split = "TrainSplit.txt" if train else "TestSplit.txt"
+    with open(osp.join(base, split), "w") as f:
+        for s in range(1, n_seqs + 1):
+            f.write(f"sequence{s}\n")
+    poses = []
+    for s in range(1, n_seqs + 1):
+        seq_dir = osp.join(base, f"seq-{s:02d}")
+        os.makedirs(seq_dir, exist_ok=True)
+        for i in range(n_frames):
+            R = Rotation.random(rng=rng).as_matrix()
+            t = rng.normal(size=3)
+            P = np.eye(4)
+            P[:3, :3] = R
+            P[:3, 3] = t
+            np.savetxt(osp.join(seq_dir, f"frame-{i:06d}.pose.txt"), P)
+            img = (rng.random((size[1], size[0], 3)) * 255).astype(np.uint8)
+            Image.fromarray(img).save(
+                osp.join(seq_dir, f"frame-{i:06d}.color.png"))
+            Image.fromarray(img[..., 0]).save(
+                osp.join(seq_dir, f"frame-{i:06d}.depth.png"))
+            poses.append((R, t))
+    return poses
+
+
+def write_cambridge_fixture(root, scene="ShopFacade", n=6, train=True,
+                            size=(64, 48)):
+    rng = np.random.default_rng(1)
+    base = osp.join(root, scene)
+    os.makedirs(osp.join(base, "seq1"), exist_ok=True)
+    split = "dataset_train.txt" if train else "dataset_test.txt"
+    rows = []
+    for i in range(n):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        if q[0] < 0:
+            q = -q
+        t = rng.normal(size=3)
+        name = f"seq1/frame{i:05d}.png"
+        img = (rng.random((size[1], size[0], 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(osp.join(base, name))
+        rows.append((name, t, q))
+    with open(osp.join(base, split), "w") as f:
+        f.write("Visual Landmark Dataset\nImageFile, Camera Position\n\n")
+        for name, t, q in rows:
+            f.write(f"{name} {t[0]} {t[1]} {t[2]} "
+                    f"{q[0]} {q[1]} {q[2]} {q[3]}\n")
+    stats = osp.join(root, "pose_stats.txt")
+    np.savetxt(stats, np.vstack([np.zeros(3), np.ones(3)]))
+    return rows, stats
+
+
+class TestTransforms:
+    def test_resize_short_side(self):
+        img = Image.new("RGB", (640, 480))
+        out = T.resize_short_side(img, 256)
+        assert out.size == (341, 256)  # torchvision Resize(256) on 640x480
+        img2 = Image.new("RGB", (480, 640))
+        assert T.resize_short_side(img2, 256).size == (256, 341)
+
+    def test_normalize(self):
+        x = np.full((4, 4, 3), 0.5, np.float32)
+        out = T.normalize(x, [0.5, 0.5, 0.5], [0.25, 0.25, 0.25])
+        np.testing.assert_allclose(out, 0.0)
+
+    def test_color_jitter_stays_in_range(self):
+        rng = np.random.default_rng(0)
+        x = rng.random((8, 8, 3)).astype(np.float32)
+        for _ in range(5):
+            y = T.color_jitter(rng, x)
+            assert y.min() >= 0 and y.max() <= 1
+
+    def test_load_missing_returns_none(self):
+        assert T.load_rgb("/nonexistent/file.png") is None
+
+
+class TestSevenScenesParser:
+    def test_parse(self, tmp_path):
+        write_7scenes_fixture(str(tmp_path))
+        ds = SevenScenes("chess", str(tmp_path), train=True, image_size=32)
+        assert len(ds) == 8
+        img, pose, rel = ds[0]
+        assert img.shape[2] == 3 and img.shape[0] == 32
+        assert pose.shape == (6,)
+        assert rel.startswith("chess/seq-01")
+
+    def test_pose_roundtrip(self, tmp_path):
+        raw = write_7scenes_fixture(str(tmp_path))
+        ds = SevenScenes("chess", str(tmp_path), train=True)
+        import jax.numpy as jnp
+        from relpose_gnn_tpu.ops import pose as pose_ops
+        for i, (R, t) in enumerate(raw):
+            np.testing.assert_allclose(ds.poses[i, :3], t, atol=1e-5)
+            q = np.asarray(pose_ops.qexp(jnp.asarray(ds.poses[i:i + 1, 3:])))
+            R2 = np.asarray(pose_ops.quat2mat(jnp.asarray(q)))[0]
+            np.testing.assert_allclose(R2, R, atol=1e-4)
+
+
+class TestCambridgeParser:
+    def test_parse_and_convention(self, tmp_path):
+        rows, stats = write_cambridge_fixture(str(tmp_path))
+        ds = CambridgeLandmark("ShopFacade", str(tmp_path), train=True,
+                               image_size=32, pose_stats_file=stats)
+        assert len(ds) == 6
+        import jax.numpy as jnp
+        from relpose_gnn_tpu.ops import pose as pose_ops
+        name, t_c2w, q = rows[0]
+        # stored translation must be t = -R @ c (cambridge_landmark.py:96)
+        R = np.asarray(pose_ops.quat2mat(
+            jnp.asarray(q, jnp.float32)[None]))[0]
+        np.testing.assert_allclose(ds.poses[0, :3], -(R @ t_c2w), atol=1e-4)
+
+    def test_image_normalized(self, tmp_path):
+        _, stats = write_cambridge_fixture(str(tmp_path))
+        ds = CambridgeLandmark("ShopFacade", str(tmp_path), train=True,
+                               image_size=32, pose_stats_file=stats)
+        img, _, _ = ds[0]
+        # Normalize(0.5, 0.25): range roughly [-2, 2]
+        assert img.min() >= -2.01 and img.max() <= 2.01
+
+
+class TestPackedDataset:
+    def test_write_read_roundtrip(self, tmp_path):
+        root = str(tmp_path / "packed")
+        w = PackedGraphWriter(root, num_graphs=3, num_nodes=4, height=8,
+                              width=10, mean=[0.4] * 3, std=[0.2] * 3)
+        rng = np.random.default_rng(0)
+        recs = []
+        for _ in range(3):
+            img = rng.random((4, 8, 10, 3)).astype(np.float32)
+            poses = rng.normal(size=(4, 6)).astype(np.float32)
+            adj = rng.random((4, 4)) < 0.5
+            w.add(img, poses, adj)
+            recs.append((img, poses, adj))
+        w.finalize()
+
+        ds = PackedGraphDataset(root)
+        assert len(ds) == 3
+        b = ds.batch(np.array([1]))
+        # uint8 quantization: within 1/255
+        np.testing.assert_allclose(b["images"][0] / 255.0, recs[1][0],
+                                   atol=1 / 255)
+        np.testing.assert_array_equal(b["poses"][0], recs[1][1])
+        np.testing.assert_array_equal(b["adj"][0], recs[1][2])
+
+    def test_concat(self, tmp_path):
+        roots = []
+        for j in range(2):
+            root = str(tmp_path / f"p{j}")
+            w = PackedGraphWriter(root, num_graphs=2, num_nodes=2, height=4,
+                                  width=4, mean=[0] * 3, std=[1] * 3)
+            for i in range(2):
+                w.add(np.full((2, 4, 4, 3), 0.5, np.float32),
+                      np.full((2, 6), j * 10 + i, np.float32),
+                      np.ones((2, 2), bool))
+            w.finalize()
+            roots.append(root)
+        cat = ConcatPackedDataset([PackedGraphDataset(r) for r in roots])
+        assert len(cat) == 4
+        b = cat.batch(np.array([3, 0]))
+        assert b["poses"][0, 0, 0] == 11  # dataset 1, record 1
+        assert b["poses"][1, 0, 0] == 0
+
+
+class _ToyDataset:
+    """Minimal query/database dataset for the builder."""
+
+    def __init__(self, n, h=8, w=10, seed=0):
+        rng = np.random.default_rng(seed)
+        self.poses = rng.normal(size=(n, 6)).astype(np.float32)
+        self._imgs = rng.random((n, h, w, 3)).astype(np.float32)
+
+    def __len__(self):
+        return len(self.poses)
+
+    def load_image(self, i):
+        return self._imgs[i]
+
+
+class TestGraphBuilder:
+    def test_build_rand_mode(self, tmp_path):
+        ds = _ToyDataset(10)
+        cfg = GraphBuilderConfig(seq_len=4, retrieval_mode="RAND")
+        out = str(tmp_path / "g")
+        n = build_graphs(ds, ds, out, cfg, height=8, width=10)
+        assert n == 10
+        packed = PackedGraphDataset(out)
+        b = packed.batch(np.arange(3))
+        assert b["images"].shape == (3, 4, 8, 10, 3)
+        # node 0 is the query: pose matches
+        np.testing.assert_allclose(b["poses"][:, 0], ds.poses[:3], atol=1e-6)
+        # fc adjacency stored
+        assert b["adj"][0].sum() == 12
+
+    def test_build_ir_mode_prefers_similar(self, tmp_path):
+        n = 30
+        ds = _ToyDataset(n)
+        desc = np.random.default_rng(3).normal(size=(n, 8))
+        desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+
+        def sim(qi):
+            return desc @ desc[qi]
+
+        def invalid(qi):
+            return self_exclusion_mask(n, qi, True)
+
+        cfg = GraphBuilderConfig(seq_len=4, sampling_period=2, seed=1)
+        out = str(tmp_path / "g2")
+        written = build_graphs(ds, ds, out, cfg, similarity_fn=sim,
+                               invalid_fn=invalid, height=8, width=10)
+        assert written == n
+        packed = PackedGraphDataset(out)
+        b = packed.batch(np.arange(n))
+        # neighbors must never be an exact copy of the query image
+        q = b["images"][:, 0].astype(np.int32)
+        for j in range(1, 4):
+            assert (np.abs(q - b["images"][:, j].astype(np.int32))
+                    .reshape(n, -1).sum(1) > 0).all()
+
+    def test_self_exclusion_mask(self):
+        m = self_exclusion_mask(10, 3, True)
+        assert m[3] and m.sum() == 1
+        m2 = self_exclusion_mask(10, 3, True, cross_connect=True,
+                                 group_len=5)
+        assert m2[:5].all() and not m2[5:].any()
+        m3 = self_exclusion_mask(10, 3, False)
+        assert not m3.any()
+
+
+class TestPipeline:
+    def _packed(self, tmp_path, n=6):
+        root = str(tmp_path / "pp")
+        w = PackedGraphWriter(root, num_graphs=n, num_nodes=2, height=4,
+                              width=4, mean=[0.5] * 3, std=[0.25] * 3)
+        for i in range(n):
+            w.add(np.full((2, 4, 4, 3), i / 10, np.float32),
+                  np.full((2, 6), i, np.float32), np.ones((2, 2), bool))
+        w.finalize()
+        return PackedGraphDataset(root)
+
+    def test_iterator_epoch(self, tmp_path):
+        ds = self._packed(tmp_path)
+        batches = list(data_iterator(ds, batch_size=2, epochs=1))
+        assert len(batches) == 3
+        seen = sorted(int(b["poses"][i, 0, 0]) for b in batches
+                      for i in range(2))
+        assert seen == [0, 1, 2, 3, 4, 5]
+
+    def test_device_prefetch_normalizes(self, tmp_path):
+        ds = self._packed(tmp_path)
+        it = data_iterator(ds, batch_size=2, epochs=1, shuffle=False)
+        out = list(device_prefetch(it, ds.mean, ds.std))
+        assert len(out) == 3
+        img = np.asarray(out[0]["images"])
+        # record 0: value 0.0 -> (0 - 0.5) / 0.25 = -2
+        np.testing.assert_allclose(img[0], -2.0, atol=0.02)
+        assert img.dtype == np.float32
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q", "-x"])

@@ -1,0 +1,151 @@
+"""Retrieval tests: NetVLAD pooling math, subsampling semantics, VLAD."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from relpose_gnn_tpu.models.netvlad import NetVLAD, NetVLADEncoder
+from relpose_gnn_tpu.retrieval import subsample
+from relpose_gnn_tpu.retrieval.vlad import VLADIndex, vlad_aggregate
+
+
+class TestNetVLAD:
+    def _numpy_oracle(self, params, x):
+        """Independent per-cluster-loop implementation of NetVLAD forward
+        (vlad_net.py:65-89 semantics) in numpy, NHWC."""
+        b, h, w, c = x.shape
+        xn = x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+        kern = np.asarray(params["assign_conv"]["kernel"])  # [1,1,C,K]
+        logits = xn @ kern[0, 0]                             # [B,H,W,K]
+        k = logits.shape[-1]
+        a = np.exp(logits - logits.max(-1, keepdims=True))
+        a = a / a.sum(-1, keepdims=True)
+        a = a.reshape(b, h * w, k)
+        xf = xn.reshape(b, h * w, c)
+        cent = np.asarray(params["centroids"])
+        vlad = np.zeros((b, k, c), np.float64)
+        for ki in range(k):
+            resid = xf - cent[ki]                            # [B,P,C]
+            vlad[:, ki] = (resid * a[:, :, ki:ki + 1]).sum(1)
+        vlad /= np.maximum(np.linalg.norm(vlad, axis=-1, keepdims=True),
+                           1e-12)
+        vlad = vlad.reshape(b, -1)
+        return vlad / np.maximum(np.linalg.norm(vlad, axis=-1,
+                                                keepdims=True), 1e-12)
+
+    def test_matches_per_cluster_loop_oracle(self):
+        m = NetVLAD(num_clusters=8, dim=16)
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 4, 5, 16)).astype(np.float32)
+        variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        got = np.asarray(m.apply(variables, jnp.asarray(x)))
+        want = self._numpy_oracle(variables["params"], x)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_output_is_unit_norm(self):
+        m = NetVLAD(num_clusters=8, dim=16)
+        x = jnp.asarray(np.random.default_rng(1).normal(size=(3, 4, 4, 16)),
+                        jnp.float32)
+        variables = m.init(jax.random.PRNGKey(0), x)
+        out = np.asarray(m.apply(variables, x))
+        np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0,
+                                   atol=1e-5)
+
+    def test_encoder_output_dim(self):
+        m = NetVLADEncoder(num_clusters=4, encoder_dim=512, dtype=None)
+        x = jnp.zeros((1, 64, 64, 3))
+        variables = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(variables, x)
+        assert out.shape == (1, 4 * 512)
+
+
+class TestSubsample:
+    def test_numpy_stride_semantics(self):
+        rng = np.random.default_rng(0)
+        idx = np.arange(100)
+        out = subsample.subsample_ranked_numpy(idx, k=7, sampling_period=5,
+                                               rng=rng)
+        assert len(out) == 7
+        assert len(set(out.tolist())) == 7
+
+    def test_rank_and_filter(self):
+        sim = np.array([0.1, 0.9, 0.5, 0.7])
+        order = subsample.rank_and_filter_numpy(sim)
+        np.testing.assert_array_equal(order, [1, 3, 2, 0])
+        invalid = np.array([False, True, False, False])
+        order2 = subsample.rank_and_filter_numpy(sim, invalid)
+        np.testing.assert_array_equal(order2, [3, 2, 0])
+
+    def test_jax_version_excludes_invalid(self):
+        rng = jax.random.PRNGKey(0)
+        m = 64
+        sim = jnp.asarray(np.random.default_rng(2).random(m), jnp.float32)
+        invalid = jnp.zeros(m, bool).at[5].set(True)
+        for seed in range(5):
+            out = np.asarray(subsample.subsample_neighbors(
+                jax.random.PRNGKey(seed), sim, invalid, k=7,
+                sampling_period=5))
+            assert 5 not in out.tolist()
+            assert out.shape == (7,)
+
+    def test_jax_version_prefers_similar(self):
+        # with sampling_period=1 and no dropout randomness the top-k ranked
+        # survivors should skew to high similarity
+        m = 128
+        sim = jnp.asarray(np.linspace(0, 1, m), jnp.float32)
+        invalid = jnp.zeros(m, bool)
+        out = np.asarray(subsample.subsample_neighbors(
+            jax.random.PRNGKey(3), sim, invalid, k=8, sampling_period=1))
+        assert np.mean(sim[out]) > 0.7
+
+    def test_cosine_topk(self):
+        rng = np.random.default_rng(4)
+        db = rng.normal(size=(50, 32)).astype(np.float32)
+        db /= np.linalg.norm(db, axis=1, keepdims=True)
+        q = db[[7, 13]] + rng.normal(size=(2, 32)).astype(np.float32) * 0.01
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        scores, idx = subsample.cosine_topk(jnp.asarray(db), jnp.asarray(q),
+                                            k=3)
+        assert idx[0, 0] == 7 and idx[1, 0] == 13
+        assert (np.diff(np.asarray(scores), axis=1) <= 0).all()
+
+
+class TestClassicalVLAD:
+    def test_vlad_aggregate_matches_loop(self):
+        rng = np.random.default_rng(5)
+        descs = rng.normal(size=(40, 8)).astype(np.float32)
+        centers = rng.normal(size=(4, 8)).astype(np.float32)
+        got = np.asarray(vlad_aggregate(jnp.asarray(descs),
+                                        jnp.asarray(centers)))
+        # loop oracle (VLAD.py:177-203 semantics)
+        d2 = ((descs[:, None] - centers[None]) ** 2).sum(-1)
+        labels = d2.argmin(1)
+        V = np.zeros((4, 8))
+        for i in range(4):
+            sel = descs[labels == i]
+            if len(sel):
+                V[i] = (sel - centers[i]).sum(0)
+        V = V.flatten()
+        V = np.sign(V) * np.sqrt(np.abs(V))
+        V = V / np.linalg.norm(V)
+        np.testing.assert_allclose(got, V, atol=1e-5)
+
+    def test_index_query_returns_self(self):
+        rng = np.random.default_rng(6)
+        centers = rng.normal(size=(4, 8)).astype(np.float32)
+        per_image = [rng.normal(size=(30, 8)).astype(np.float32)
+                     for _ in range(10)]
+        index = VLADIndex(centers=centers)
+        index.build(per_image)
+        _, idx = index.query(per_image[3], k=3)
+        assert idx[0] == 3
+
+    def test_save_load_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(7)
+        index = VLADIndex(centers=rng.normal(size=(4, 8)).astype(np.float32))
+        index.build([rng.normal(size=(20, 8)).astype(np.float32)
+                     for _ in range(3)])
+        p = str(tmp_path / "vlad.pkl")
+        index.save(p)
+        loaded = VLADIndex.load(p)
+        np.testing.assert_array_equal(loaded.descriptors, index.descriptors)
