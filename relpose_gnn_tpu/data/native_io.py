@@ -1,0 +1,201 @@
+"""ctypes binding for the native graphio runtime (native/graphio.cc).
+
+Compiles `libgraphio.so` on first use (g++, cached next to the source) and
+exposes:
+  * `NativeArray` — mmap'd .npy record store with multithreaded gather;
+  * `NativeBatchLoader` — async prefetching batch loader over a packed
+    graph dataset directory (images/poses/adj), the C++ replacement for the
+    reference's DataLoader worker processes.
+
+Falls back cleanly: `available()` is False when no compiler is present, and
+`data/pipeline.py` keeps working on pure-numpy memmaps.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import os.path as osp
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = osp.join(osp.dirname(osp.dirname(osp.dirname(
+    osp.abspath(__file__)))), "native")
+_SO_PATH = osp.join(_NATIVE_DIR, "libgraphio.so")
+_SRC_PATH = osp.join(_NATIVE_DIR, "graphio.cc")
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _build() -> str:
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", _SO_PATH,
+           _SRC_PATH, "-lpthread"]
+    subprocess.check_call(cmd)
+    return _SO_PATH
+
+
+def _load():
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not osp.isfile(_SO_PATH) or (osp.getmtime(_SO_PATH)
+                                        < osp.getmtime(_SRC_PATH)):
+            _build()
+        lib = ctypes.CDLL(_SO_PATH)
+        lib.gio_open.restype = ctypes.c_void_p
+        lib.gio_open.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
+        lib.gio_close.argtypes = [ctypes.c_void_p]
+        lib.gio_gather.restype = ctypes.c_int
+        lib.gio_gather.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                                   ctypes.POINTER(ctypes.c_int64),
+                                   ctypes.c_int64, ctypes.c_void_p,
+                                   ctypes.c_int]
+        lib.gpf_create.restype = ctypes.c_void_p
+        lib.gpf_create.argtypes = [ctypes.POINTER(ctypes.c_void_p),
+                                   ctypes.POINTER(ctypes.c_uint64),
+                                   ctypes.c_int, ctypes.c_int]
+        lib.gpf_submit.argtypes = [ctypes.c_void_p,
+                                   ctypes.POINTER(ctypes.c_int64),
+                                   ctypes.c_int64,
+                                   ctypes.POINTER(ctypes.c_void_p)]
+        lib.gpf_wait.argtypes = [ctypes.c_void_p]
+        lib.gpf_destroy.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except (OSError, subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def _npy_header(path: str) -> tuple[int, tuple, np.dtype]:
+    """Parse a .npy header -> (data_offset, shape, dtype)."""
+    with open(path, "rb") as f:
+        version = np.lib.format.read_magic(f)
+        shape, fortran, dtype = np.lib.format._read_array_header(f, version)
+        assert not fortran
+        return f.tell(), shape, dtype
+
+
+class NativeArray:
+    """One mmap'd .npy array with native multithreaded record gather."""
+
+    def __init__(self, path: str):
+        self._lib = _load()
+        offset, shape, dtype = _npy_header(path)
+        self.shape = shape
+        self.dtype = dtype
+        self.rec_shape = shape[1:]
+        self.rec_bytes = int(np.prod(shape[1:], dtype=np.int64)
+                             * dtype.itemsize)
+        self._h = self._lib.gio_open(path.encode(), offset)
+        if not self._h:
+            raise OSError(f"gio_open failed: {path}")
+
+    def gather(self, indices: np.ndarray, out: np.ndarray | None = None,
+               threads: int = 4) -> np.ndarray:
+        indices = np.ascontiguousarray(indices, np.int64)
+        n = len(indices)
+        if out is None:
+            out = np.empty((n,) + self.rec_shape, self.dtype)
+        assert out.flags["C_CONTIGUOUS"] and out.nbytes == n * self.rec_bytes
+        rc = self._lib.gio_gather(
+            self._h, self.rec_bytes,
+            indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+            out.ctypes.data_as(ctypes.c_void_p), threads)
+        assert rc == 0
+        return out
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.gio_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeBatchLoader:
+    """Async double-buffered batch loader over a packed dataset directory.
+
+    Usage:
+        loader = NativeBatchLoader(root)
+        for batch in loader.epoch(rng, batch_size=8):  # dict of np arrays
+            ...
+    """
+
+    KEYS = ("images", "poses", "adj")
+
+    def __init__(self, root: str, threads: int = 4):
+        self._lib = _load()
+        self.arrays = {k: NativeArray(osp.join(root, f"{k}.npy"))
+                       for k in self.KEYS}
+        self.num_records = self.arrays["images"].shape[0]
+        handles = (ctypes.c_void_p * 3)(
+            *[self.arrays[k]._h for k in self.KEYS])
+        recs = (ctypes.c_uint64 * 3)(
+            *[self.arrays[k].rec_bytes for k in self.KEYS])
+        self._pf = self._lib.gpf_create(handles, recs, 3, threads)
+        self._pending: dict | None = None
+
+    def __len__(self):
+        return self.num_records
+
+    def _alloc(self, n: int) -> dict:
+        return {k: np.empty((n,) + self.arrays[k].rec_shape,
+                            self.arrays[k].dtype) for k in self.KEYS}
+
+    def _submit(self, indices: np.ndarray) -> dict:
+        indices = np.ascontiguousarray(indices, np.int64)
+        bufs = self._alloc(len(indices))
+        ptrs = (ctypes.c_void_p * 3)(
+            *[bufs[k].ctypes.data_as(ctypes.c_void_p).value
+              for k in self.KEYS])
+        self._lib.gpf_submit(
+            self._pf,
+            indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(indices), ptrs)
+        # keep references alive until wait()
+        return {"bufs": bufs, "indices": indices, "ptrs": ptrs}
+
+    def epoch(self, rng: np.random.Generator, batch_size: int,
+              shuffle: bool = True, drop_remainder: bool = True):
+        order = (rng.permutation(self.num_records) if shuffle
+                 else np.arange(self.num_records))
+        end = (self.num_records - self.num_records % batch_size
+               if drop_remainder else self.num_records)
+        starts = list(range(0, end, batch_size))
+        if not starts:
+            return
+        pending = self._submit(order[starts[0]:starts[0] + batch_size])
+        for s in starts[1:]:
+            self._lib.gpf_wait(self._pf)
+            ready = pending["bufs"]
+            pending = self._submit(order[s:s + batch_size])
+            yield ready
+        self._lib.gpf_wait(self._pf)
+        yield pending["bufs"]
+
+    def close(self):
+        if getattr(self, "_pf", None):
+            self._lib.gpf_destroy(self._pf)
+            self._pf = None
+        for a in self.arrays.values():
+            a.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
