@@ -1,0 +1,147 @@
+"""Absolute-pose baselines: PoseNet, MapNet, AtLoc(+), FourDirectionalLSTM.
+
+TPU-native equivalents of the reference's baseline model family
+(modules/att.py:37-133 `FourDirectionalLSTM`/`AtLoc`/`AtLocPlus`;
+modules/posenet.py:39-105 `PoseNet`/`MapNet`).  All share the ResNet34
+trunk with `AdaptiveAvgPool2d(1)` + `Linear(512, feat_dim)` head
+replacement and regress pose6 = [t(3), logq(3)].
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from relpose_gnn_tpu.models.attention import AttentionBlock
+from relpose_gnn_tpu.models.resnet import ResNet
+
+
+class FourDirectionalLSTM(nn.Module):
+    """Bidirectional LSTMs over a feature map folded two ways
+    (att.py:37-64): the feature vector reshaped to [seq, feat] is scanned
+    left-right and (transposed) up-down; the four final hidden states
+    concatenate to [4 * hidden].
+
+    The reference initializes LSTM hidden states with *random noise each
+    forward* (att.py:48-50); we default to zeros (deterministic) and expose
+    `random_init` for faithful replication.
+    """
+
+    seq_size: int = 32
+    origin_feat_size: int = 2048
+    hidden_size: int = 256
+    random_init: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b = x.shape[0]
+        feat = self.origin_feat_size // self.seq_size
+        x_rl = x.reshape(b, self.seq_size, feat)
+        x_du = jnp.swapaxes(x_rl, 1, 2)
+
+        def bidir_lstm(name, seq, in_feat):
+            fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size),
+                         name=f"{name}_fwd")
+            bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size),
+                         reverse=True, name=f"{name}_bwd")
+            if self.random_init:
+                rng = self.make_rng("lstm_init")
+                k1, k2 = jax.random.split(rng)
+                carry_f = (jax.random.normal(k1, (b, self.hidden_size)),
+                           jax.random.normal(k2, (b, self.hidden_size)))
+                hf = fwd(seq, initial_carry=carry_f)
+                hb = bwd(seq, initial_carry=carry_f)
+            else:
+                hf = fwd(seq)
+                hb = bwd(seq)
+            return hf[:, -1], hb[:, 0]
+
+        h_lr_f, h_lr_b = bidir_lstm("rightleft", x_rl, feat)
+        h_du_f, h_du_b = bidir_lstm("downup", x_du, self.seq_size)
+        return jnp.concatenate([h_lr_f, h_lr_b, h_du_f, h_du_b], axis=1)
+
+
+class PoseNet(nn.Module):
+    """Plain absolute-pose regressor: backbone -> relu -> dropout -> heads
+    (posenet.py:39-76 semantics)."""
+
+    feat_dim: int = 2048
+    droprate: float = 0.5
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, images: jax.Array, train: bool = False) -> jax.Array:
+        x = ResNet(stage_sizes=(3, 4, 6, 3), feat_dim=self.feat_dim,
+                   dtype=self.dtype, name="encoder")(images, train=train)
+        x = nn.relu(x)
+        if self.droprate > 0:
+            x = nn.Dropout(self.droprate)(x, deterministic=not train)
+        xyz = nn.Dense(3, name="fc_xyz")(x)
+        wpqr = nn.Dense(3, name="fc_wpqr")(x)
+        return jnp.concatenate([xyz, wpqr], axis=1)
+
+
+class MapNet(nn.Module):
+    """PoseNet applied framewise to a sequence [B, T, H, W, 3] -> [B, T, 6]
+    (posenet.py:79-105); pairs with `mapnet_criterion` (abs + VO terms)."""
+
+    feat_dim: int = 2048
+    droprate: float = 0.5
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, images: jax.Array, train: bool = False) -> jax.Array:
+        b, t = images.shape[:2]
+        flat = images.reshape((b * t,) + images.shape[2:])
+        poses = PoseNet(self.feat_dim, self.droprate, self.dtype,
+                        name="posenet")(flat, train=train)
+        return poses.reshape(b, t, 6)
+
+
+class AtLoc(nn.Module):
+    """Attention-guided absolute pose regression (att.py:67-120):
+    backbone -> relu -> AttentionBlock (or FourDirectionalLSTM) ->
+    dropout -> heads."""
+
+    feat_dim: int = 2048
+    droprate: float = 0.5
+    lstm: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, images: jax.Array, train: bool = False) -> jax.Array:
+        x = ResNet(stage_sizes=(3, 4, 6, 3), feat_dim=self.feat_dim,
+                   dtype=self.dtype, name="encoder")(images, train=train)
+        x = nn.relu(x)
+        if self.lstm:
+            x = FourDirectionalLSTM(seq_size=32,
+                                    origin_feat_size=self.feat_dim,
+                                    hidden_size=256, name="lstm4dir")(x)
+        else:
+            x = AttentionBlock(self.feat_dim, name="att")(x)
+        if self.droprate > 0:
+            x = nn.Dropout(self.droprate)(x, deterministic=not train)
+        xyz = nn.Dense(3, name="fc_xyz")(x)
+        wpqr = nn.Dense(3, name="fc_wpqr")(x)
+        return jnp.concatenate([xyz, wpqr], axis=1)
+
+
+class AtLocPlus(nn.Module):
+    """Sequence wrapper around AtLoc (att.py:123-133): [B, T, H, W, 3] ->
+    [B, T, 6]; pairs with `AtLocPlusCriterion` semantics
+    (mapnet_criterion)."""
+
+    feat_dim: int = 2048
+    droprate: float = 0.5
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, images: jax.Array, train: bool = False) -> jax.Array:
+        b, t = images.shape[:2]
+        flat = images.reshape((b * t,) + images.shape[2:])
+        poses = AtLoc(self.feat_dim, self.droprate, dtype=self.dtype,
+                      name="atloc")(flat, train=train)
+        return poses.reshape(b, t, 6)

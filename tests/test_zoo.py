@@ -1,0 +1,101 @@
+"""Model-zoo smoke tests: every registered family initializes and runs on
+tiny shapes, including the stretch configs."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from relpose_gnn_tpu.models.atloc import FourDirectionalLSTM
+from relpose_gnn_tpu.models.zoo import build_model
+from relpose_gnn_tpu.ops import graph as graph_ops
+
+
+def tiny(name, **kw):
+    return build_model(name, feat_dim=32, **kw) \
+        if name in ("posenet", "mapnet", "atloc", "atloc+") else \
+        build_model(name, feat_dim=32, edge_dim=32, node_dim=32, **kw)
+
+
+class TestZoo:
+    @pytest.mark.parametrize("name", ["R1", "R2", "R3"])
+    def test_graph_models(self, name):
+        m = tiny(name, num_nodes=4, knn=2)
+        img = jnp.ones((1, 4, 32, 40, 3))
+        adj = jnp.asarray(graph_ops.fc_adjacency(4))[None]
+        v = m.init(jax.random.PRNGKey(0), img, adj, train=False)
+        pa, pr, a, _ = m.apply(v, img, adj, train=False)
+        assert pa.shape == (1, 4, 6) and pr.shape == (1, 4, 4, 6)
+
+    def test_r3_32_node_stretch(self):
+        m = build_model("r3-32", feat_dim=32, edge_dim=32, node_dim=32,
+                        knn=4)
+        img = jnp.ones((1, 32, 32, 40, 3))
+        adj = jnp.asarray(graph_ops.fc_adjacency(32))[None]
+        v = m.init(jax.random.PRNGKey(0), img, adj, train=False)
+        pa, pr, a, _ = m.apply(v, img, adj, train=False)
+        assert pa.shape == (1, 32, 6) and pr.shape == (1, 32, 32, 6)
+        assert np.asarray(a).sum(axis=1).max() == 4  # knn incoming
+
+    def test_vit_stretch_backbone(self):
+        m = build_model("r3-vit", feat_dim=32, edge_dim=32, node_dim=32,
+                        num_nodes=4, knn=2)
+        # tiny ViT via overrides is not exposed; just check init traces with
+        # a small image (full ViT-B params but tiny spatial extent)
+        img = jnp.ones((1, 4, 32, 32, 3))
+        adj = jnp.asarray(graph_ops.fc_adjacency(4))[None]
+        v = jax.eval_shape(lambda: m.init(jax.random.PRNGKey(0), img, adj,
+                                          train=False))
+        assert "encoder" in v["params"]
+
+    def test_posenet(self):
+        m = tiny("posenet")
+        img = jnp.ones((2, 32, 40, 3))
+        v = m.init(jax.random.PRNGKey(0), img, train=False)
+        out = m.apply(v, img, train=False)
+        assert out.shape == (2, 6)
+
+    def test_mapnet_sequence(self):
+        m = tiny("mapnet")
+        img = jnp.ones((2, 3, 32, 40, 3))
+        v = m.init(jax.random.PRNGKey(0), img, train=False)
+        out = m.apply(v, img, train=False)
+        assert out.shape == (2, 3, 6)
+
+    def test_atloc(self):
+        m = tiny("atloc")
+        img = jnp.ones((2, 32, 40, 3))
+        v = m.init(jax.random.PRNGKey(0), img, train=False)
+        out = m.apply(v, img, train=False)
+        assert out.shape == (2, 6)
+
+    def test_atloc_plus(self):
+        m = tiny("atloc+")
+        img = jnp.ones((1, 2, 32, 40, 3))
+        v = m.init(jax.random.PRNGKey(0), img, train=False)
+        out = m.apply(v, img, train=False)
+        assert out.shape == (1, 2, 6)
+
+    def test_unknown_raises(self):
+        with pytest.raises(ValueError):
+            build_model("nope")
+
+
+class TestFourDirectionalLSTM:
+    def test_output_shape(self):
+        m = FourDirectionalLSTM(seq_size=8, origin_feat_size=64,
+                                hidden_size=16)
+        x = jnp.ones((3, 64))
+        v = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(v, x)
+        assert out.shape == (3, 64)  # 4 * hidden
+
+    def test_deterministic_by_default(self):
+        m = FourDirectionalLSTM(seq_size=4, origin_feat_size=16,
+                                hidden_size=8)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 16)),
+                        jnp.float32)
+        v = m.init(jax.random.PRNGKey(0), x)
+        o1 = m.apply(v, x)
+        o2 = m.apply(v, x)
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
