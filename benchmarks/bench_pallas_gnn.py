@@ -3,6 +3,11 @@
 Run on the real chip:  python benchmarks/bench_pallas_gnn.py
 """
 
+import os.path as _osp
+import sys as _sys
+
+_sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))
+
 import time
 
 import numpy as np
