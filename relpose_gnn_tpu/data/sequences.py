@@ -144,10 +144,16 @@ def scenes_to_sequences(scene_root: str, dst_dir: str | None = None) -> dict:
         os.makedirs(out, exist_ok=True)
         seq.dump_json(osp.join(out, "seq.json"))
         np.savetxt(osp.join(out, "K.txt"), K_from_frame(seq.frames[0]))
+        export_tum_img_info(seq, osp.join(out, "rgb.txt"),
+                            osp.join(out, "depth.txt"))
+        export_tum_trajectory(seq, osp.join(out, "groundtruth.txt"))
         per_seq[seq_name] = seq
 
     def split_ids(split_file):
-        with open(osp.join(scene_root, split_file)) as f:
+        path = osp.join(scene_root, split_file)
+        if not osp.isfile(path):  # tolerate missing split (ref. crashes)
+            return []
+        with open(path) as f:
             return [int(line.split("sequence")[1].strip()) for line in f
                     if not line.startswith("#")]
 
@@ -164,6 +170,43 @@ def scenes_to_sequences(scene_root: str, dst_dir: str | None = None) -> dict:
             pickle.dump(frames, f)
         out_paths[split] = path
     return out_paths
+
+
+def export_tum_img_info(seq: FrameSeq, rgb_txt: str,
+                        depth_txt: str | None = None) -> None:
+    """TUM-format image lists: `timestamp path` per line
+    (tum_seq2ares.py::export_tum_img_info equivalent, written by
+    scenes2seq.py:155-162)."""
+    with open(rgb_txt, "w") as f:
+        f.write("# color images\n# timestamp filename\n")
+        for fr in seq.frames:
+            f.write(f"{fr['timestamp']:.6f} {fr['file_name']}\n")
+    if depth_txt:
+        with open(depth_txt, "w") as f:
+            f.write("# depth images\n# timestamp filename\n")
+            for fr in seq.frames:
+                if fr.get("depth_file_name"):
+                    f.write(f"{fr['timestamp']:.6f} "
+                            f"{fr['depth_file_name']}\n")
+
+
+def export_tum_trajectory(seq: FrameSeq, path: str) -> None:
+    """TUM groundtruth format: `timestamp tx ty tz qx qy qz qw` of the
+    camera-to-world pose (tum_seq2ares.py::export_to_tum_format equivalent,
+    scenes2seq.py:166-170)."""
+    from relpose_gnn_tpu.ops import pose as pose_ops
+    import jax.numpy as jnp
+
+    with open(path, "w") as f:
+        f.write("# trajectory\n# timestamp tx ty tz qx qy qz qw\n")
+        for fr in seq.frames:
+            Tcw = np.asarray(fr["extrinsic_Tcw"])
+            R, t = Tcw[:3, :3], Tcw[:3, 3]
+            Rwc, twc = R.T, -R.T @ t
+            q = np.asarray(pose_ops.mat2quat(jnp.asarray(Rwc[None])))[0]
+            f.write(f"{fr['timestamp']:.6f} "
+                    f"{twc[0]:.6f} {twc[1]:.6f} {twc[2]:.6f} "
+                    f"{q[1]:.6f} {q[2]:.6f} {q[3]:.6f} {q[0]:.6f}\n")
 
 
 def load_frames_bin(path: str, sampling_period: int = 1) -> list[dict]:

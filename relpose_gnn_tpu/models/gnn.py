@@ -119,6 +119,110 @@ class DenseEdgeGNNGated(nn.Module):
         return x_new, e_new
 
 
+class EdgeConvRotDense(nn.Module):
+    """Dense equivalent of `EdgeConvRot` (my_gnn_layer.py:415-449).
+
+    Flow is 'target_to_source': messages aggregate (mean) at the *source*
+    node.  Message = MLP([x_s, x_t, e]) when node features are wide, or
+    MLP0(e) for the narrow (pose-only) ablation (:432-440).  Returns
+    (aggregated messages [.., N, D], per-edge messages [.., N, N, D])."""
+
+    node_dim: int
+    edge_dim: int
+    out_dim: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, e: jax.Array,
+                 adj: jax.Array) -> tuple[jax.Array, jax.Array]:
+        n = x.shape[-2]
+        xs = jnp.broadcast_to(x[..., :, None, :],
+                              x.shape[:-2] + (n, n, x.shape[-1]))
+        xt = jnp.broadcast_to(x[..., None, :, :],
+                              x.shape[:-2] + (n, n, x.shape[-1]))
+        if x.shape[-1] > 5:
+            msg = MLP2(self.out_dim, self.out_dim, dtype=self.dtype,
+                       name="mlp")(jnp.concatenate([xs, xt, e], axis=-1))
+        else:
+            msg = MLP2(self.out_dim, self.out_dim, dtype=self.dtype,
+                       name="mlp0")(e)
+        # aggregate at the source: mean over targets t with adj[s, t]
+        m = adj.astype(msg.dtype)[..., None]
+        s = jnp.sum(msg * m, axis=-2)
+        cnt = jnp.sum(m, axis=-2)
+        return s / jnp.maximum(cnt, 1.0), msg
+
+
+def cosine_gate(x_i: jax.Array, x_j: jax.Array) -> jax.Array:
+    """Channelwise sigmoid(cosine similarity) attention gate
+    (`batch_cosine_similarity`, my_gnn_layer.py:12-43): features viewed as
+    [..., C, P], cosine over P per channel, sigmoid."""
+    num = jnp.sum(x_i * x_j, axis=-1)
+    den = (jnp.linalg.norm(x_i, axis=-1)
+           * jnp.linalg.norm(x_j, axis=-1))
+    return jax.nn.sigmoid(num / jnp.maximum(den, 1e-8))
+
+
+class ConvMapGNN(nn.Module):
+    """Dense equivalent of the conv-map message-passing layer `myGNN`
+    (my_gnn_layer.py:46-176): node states are unpooled feature maps
+    [..., N, H, W, C]; message/edge/update are two-layer 3x3 conv+BN+ReLU
+    stacks on channel-concatenated maps; aggregation is masked sum
+    (aggr='add', :49); optional cosine-similarity attention gate (:157).
+
+    Ablation-scale component — the production models pool before the GNN.
+    """
+
+    channels: int
+    use_attention: bool = False
+    dtype: Any = None
+
+    def _conv_stack(self, name: str, x: jax.Array, train: bool) -> jax.Array:
+        for layer in (1, 2):
+            x = nn.Conv(self.channels, (3, 3), padding=1, use_bias=True,
+                        dtype=self.dtype, name=f"{name}_conv{layer}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype,
+                             name=f"{name}_bn{layer}")(x)
+            x = nn.relu(x)
+        return x
+
+    @nn.compact
+    def __call__(self, x: jax.Array, e: jax.Array, adj: jax.Array,
+                 train: bool = False) -> tuple[jax.Array, jax.Array]:
+        """x: [B, N, H, W, C]; e: [B, N, N, H, W, Ce]; adj: [B, N, N]."""
+        b, n, h, w, c = x.shape
+        xs = jnp.broadcast_to(x[:, :, None], (b, n, n, h, w, c))
+        xt = jnp.broadcast_to(x[:, None, :], (b, n, n, h, w, c))
+
+        # edge update (EdgeModel, my_gnn_layer.py:178-200)
+        e_in = jnp.concatenate([xs, xt, e], axis=-1).reshape(
+            b * n * n, h, w, -1)
+        e_new = self._conv_stack("edge", e_in, train).reshape(
+            b, n, n, h, w, self.channels)
+
+        # message (conv_message on [x_i, x_j, e'], :138-160; x_i = target)
+        m_in = jnp.concatenate(
+            [xt, xs, e_new], axis=-1).reshape(b * n * n, h, w, -1)
+        msg = self._conv_stack("message", m_in, train).reshape(
+            b, n, n, h, w, self.channels)
+        if self.use_attention:
+            gate = cosine_gate(
+                jnp.swapaxes(xt.reshape(b, n, n, h * w, c), -1, -2),
+                jnp.swapaxes(xs.reshape(b, n, n, h * w, c), -1, -2))
+            msg = msg * gate[:, :, :, None, None, :]
+
+        # masked SUM aggregation at targets (aggr='add')
+        mask = adj.astype(msg.dtype)[..., None, None, None]
+        aggr = jnp.sum(msg * mask, axis=1)  # over sources
+
+        # node update (conv_updating on [x, aggr], :162-171)
+        u_in = jnp.concatenate([x, aggr], axis=-1).reshape(b * n, h, w, -1)
+        x_new = self._conv_stack("update", u_in, train).reshape(
+            b, n, h, w, self.channels)
+        return x_new, e_new
+
+
 class DenseConv(nn.Module):
     """Dense equivalent of the edge-less `simpleConv`
     (my_gnn_layer.py:394-412): msg = MLP([x_t, x_s]), mean-aggregated.

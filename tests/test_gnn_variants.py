@@ -1,0 +1,125 @@
+"""Tests for ablation GNN variants + sequence exports + visualization."""
+
+import os.path as osp
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from test_data import write_7scenes_fixture
+
+from relpose_gnn_tpu.data import sequences
+from relpose_gnn_tpu.models.gnn import (ConvMapGNN, DenseConv,
+                                        DenseEdgeGNNGated,
+                                        EdgeConvRotDense, cosine_gate)
+from relpose_gnn_tpu.utils.visualize import plot_trajectories
+
+
+class TestEdgeConvRotDense:
+    def test_aggregates_at_source(self):
+        n, d = 4, 8
+        layer = EdgeConvRotDense(node_dim=d, edge_dim=d, out_dim=d)
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(n, d)).astype(np.float32)
+        e = rng.normal(size=(n, n, d)).astype(np.float32)
+        adj = np.zeros((n, n), bool)
+        adj[0, 1] = adj[0, 2] = True  # source 0 -> targets 1, 2
+        v = layer.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                       jnp.asarray(e), jnp.asarray(adj))
+        aggr, msg = layer.apply(v, jnp.asarray(x), jnp.asarray(e),
+                                jnp.asarray(adj))
+        aggr, msg = np.asarray(aggr), np.asarray(msg)
+        np.testing.assert_allclose(aggr[0], (msg[0, 1] + msg[0, 2]) / 2,
+                                   atol=1e-5)
+        np.testing.assert_allclose(aggr[1], 0, atol=1e-6)  # no out-edges
+
+    def test_narrow_features_use_mlp0(self):
+        layer = EdgeConvRotDense(node_dim=3, edge_dim=6, out_dim=6)
+        x = jnp.ones((4, 3))  # <= 5 dims -> pose-only path
+        e = jnp.ones((4, 4, 6))
+        adj = jnp.ones((4, 4), bool)
+        v = layer.init(jax.random.PRNGKey(0), x, e, adj)
+        assert "mlp0" in v["params"] and "mlp" not in v["params"]
+
+
+class TestConvMapGNN:
+    def test_shapes_and_sum_aggregation(self):
+        b, n, h, w, c = 1, 3, 4, 4, 8
+        layer = ConvMapGNN(channels=c)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(b, n, h, w, c)), jnp.float32)
+        e = jnp.asarray(rng.normal(size=(b, n, n, h, w, c)), jnp.float32)
+        adj = jnp.asarray(np.ones((b, n, n), bool)
+                          & ~np.eye(n, dtype=bool)[None])
+        v = layer.init(jax.random.PRNGKey(0), x, e, adj, train=False)
+        x2, e2 = layer.apply(v, x, e, adj, train=False)
+        assert x2.shape == (b, n, h, w, c)
+        assert e2.shape == (b, n, n, h, w, c)
+
+    def test_attention_gate_changes_output(self):
+        b, n, h, w, c = 1, 3, 4, 4, 8
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(b, n, h, w, c)), jnp.float32)
+        e = jnp.asarray(rng.normal(size=(b, n, n, h, w, c)), jnp.float32)
+        adj = jnp.ones((b, n, n), bool)
+        l0 = ConvMapGNN(channels=c, use_attention=False)
+        l1 = ConvMapGNN(channels=c, use_attention=True)
+        v = l0.init(jax.random.PRNGKey(0), x, e, adj, train=False)
+        o0 = l0.apply(v, x, e, adj, train=False)[0]
+        o1 = l1.apply(v, x, e, adj, train=False)[0]
+        assert not np.allclose(np.asarray(o0), np.asarray(o1))
+
+    def test_cosine_gate_range(self):
+        rng = np.random.default_rng(3)
+        a = jnp.asarray(rng.normal(size=(2, 8, 16)), jnp.float32)
+        g = np.asarray(cosine_gate(a, a))
+        # cos=1 -> sigmoid(1) ~ 0.731
+        np.testing.assert_allclose(g, 1 / (1 + np.exp(-1)), atol=1e-5)
+
+
+class TestDenseVariants:
+    def test_gated_layer_runs(self):
+        layer = DenseEdgeGNNGated(node_dim=8, edge_dim=8, out_dim=8)
+        x = jnp.ones((2, 4, 8))
+        e = jnp.ones((2, 4, 4, 8))
+        adj = jnp.ones((2, 4, 4), bool)
+        v = layer.init(jax.random.PRNGKey(0), x, e, adj)
+        xn, en = layer.apply(v, x, e, adj)
+        assert xn.shape == (2, 4, 8) and en.shape == (2, 4, 4, 8)
+
+    def test_dense_conv_runs(self):
+        layer = DenseConv(out_dim=8)
+        x = jnp.ones((2, 4, 8))
+        adj = jnp.ones((2, 4, 4), bool)
+        v = layer.init(jax.random.PRNGKey(0), x, adj)
+        out = layer.apply(v, x, adj)
+        assert out.shape == (2, 4, 8)
+
+
+class TestSequenceExports:
+    def test_tum_exports(self, tmp_path):
+        write_7scenes_fixture(str(tmp_path), scene="chess", n_seqs=1,
+                              n_frames=3)
+        out = sequences.scenes_to_sequences(str(tmp_path / "chess"),
+                                            str(tmp_path / "out"))
+        d = str(tmp_path / "out/seq-01")
+        for name in ("rgb.txt", "depth.txt", "groundtruth.txt"):
+            assert osp.isfile(osp.join(d, name)), name
+        gt = np.loadtxt(osp.join(d, "groundtruth.txt"))
+        assert gt.shape == (3, 8)
+        # quaternion column must be unit norm
+        np.testing.assert_allclose(np.linalg.norm(gt[:, 4:], axis=1), 1.0,
+                                   atol=1e-5)
+        del out
+
+
+class TestVisualize:
+    def test_plot_saves_file(self, tmp_path):
+        rng = np.random.default_rng(4)
+        p = rng.normal(size=(50, 7))
+        t = rng.normal(size=(50, 7))
+        out = plot_trajectories(p, t, str(tmp_path / "traj.png"))
+        assert osp.isfile(out)
+        out2 = plot_trajectories(p, t, str(tmp_path / "traj2d.png"),
+                                 three_d=False)
+        assert osp.isfile(out2)
