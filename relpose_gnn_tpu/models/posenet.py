@@ -119,8 +119,20 @@ class RelPoseGNN(nn.Module):
 
     def __call__(self, images: jax.Array, adj: jax.Array,
                  train: bool = False):
-        c = self.cfg
         x = self.encode_nodes(images, train)
+        return self.from_embeddings(x, adj, train=train)
+
+    def from_embeddings(self, x: jax.Array, adj: jax.Array,
+                        train: bool = False):
+        """Everything after the backbone: [B, N, feat] node embeddings ->
+        (pred_abs, pred_rel, adj, aux).
+
+        Split out so the serving path can reuse cached database-image
+        embeddings (evaluation/serving.py) — the reference re-encodes all
+        8 node images for every query (testing/test.py:211), although the 7
+        neighbors are database frames whose features never change at eval.
+        """
+        c = self.cfg
 
         if c.use_attention:
             x = self.att(x)

@@ -1,0 +1,63 @@
+"""Cached-embedding serving path must match the full pixel path exactly."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from relpose_gnn_tpu.data.synthetic import synthetic_batch
+from relpose_gnn_tpu.evaluation import serving
+from relpose_gnn_tpu.models.posenet import RelPoseGNN, RelPoseGNNConfig
+from relpose_gnn_tpu.training.trainer import (TrainerConfig,
+                                              create_train_state,
+                                              make_eval_step)
+
+
+def setup(knn=2, b=3, n=4):
+    cfg = RelPoseGNNConfig(num_nodes=n, feat_dim=32, edge_dim=32,
+                           node_dim=32, knn=knn, backbone="resnet18",
+                           droprate=0.0)
+    model = RelPoseGNN(cfg)
+    rng = np.random.default_rng(0)
+    batch = synthetic_batch(rng, batch_size=b, num_nodes=n, height=32,
+                            width=40)
+    batch = jax.tree.map(jnp.asarray, batch)
+    state = create_train_state(jax.random.PRNGKey(0), model,
+                               TrainerConfig(steps_per_epoch=2),
+                               batch["images"], batch["adj"])
+    return model, state, batch
+
+
+class TestCachedServing:
+    def test_matches_full_path_exactly(self):
+        model, state, batch = setup()
+        variables = {"params": state.params["model"],
+                     "batch_stats": state.batch_stats}
+
+        full = make_eval_step(ref_node=0)(state, batch)
+
+        q_imgs = batch["images"][:, 0]
+        nbr_imgs = batch["images"][:, 1:]
+        b, m = nbr_imgs.shape[:2]
+        embed = serving.make_embed_fn(model)
+        nbr_emb = embed(variables, nbr_imgs.reshape((b * m,)
+                                                    + nbr_imgs.shape[2:]))
+        nbr_emb = nbr_emb.reshape(b, m, -1)
+        cached_step = serving.make_cached_eval_step(model, ref_node=0)
+        cached = cached_step(variables, q_imgs, nbr_emb,
+                             batch["poses"][:, 1:], batch["adj"])
+
+        np.testing.assert_array_equal(np.asarray(full["nbr"]),
+                                      np.asarray(cached["nbr"]))
+        np.testing.assert_allclose(np.asarray(full["pred"]),
+                                   np.asarray(cached["pred"]), atol=1e-5)
+
+    def test_embed_database_batching(self):
+        model, state, batch = setup(b=2)
+        variables = {"params": state.params["model"],
+                     "batch_stats": state.batch_stats}
+        imgs = np.asarray(batch["images"][:, 0])  # 2 images
+        imgs = np.concatenate([imgs] * 3)         # 6 images
+        emb = serving.embed_database(model, variables, imgs, batch_size=4)
+        assert emb.shape == (6, 32)
+        np.testing.assert_allclose(np.asarray(emb[:2]), np.asarray(emb[2:4]),
+                                   atol=1e-6)
