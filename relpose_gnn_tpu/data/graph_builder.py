@@ -102,7 +102,8 @@ def build_graphs(query_dataset, database_dataset, out_root: str,
             poses[j + 1] = database_dataset.poses[int(dbi)]
         if not ok:
             continue
-        writer.add(images, poses, adj)
+        writer.add(images, poses, adj,
+                   nbr_idx=np.asarray(nbrs[:n - 1], np.int32))
         written += 1
 
     # shrink the header to the number actually written (skipped frames,

@@ -41,6 +41,11 @@ class PackedGraphDataset:
                              mmap_mode=self.mode)
         self.adj = np.load(osp.join(self.root, "adj.npy"),
                            mmap_mode=self.mode)
+        # optional: database indices of each graph's neighbor nodes
+        # (enables the cached-embedding serving path, evaluation/serving.py)
+        nbr_path = osp.join(self.root, "nbr_idx.npy")
+        self.nbr_idx = (np.load(nbr_path, mmap_mode=self.mode)
+                        if osp.isfile(nbr_path) else None)
         assert self.images.shape == shape_img, (self.images.shape, shape_img)
         self.mean = np.asarray(m["mean"], np.float32)
         self.std = np.asarray(m["std"], np.float32)
@@ -48,11 +53,14 @@ class PackedGraphDataset:
     def __len__(self) -> int:
         return self.meta["num_graphs"]
 
-    def batch(self, indices: np.ndarray) -> dict:
+    def batch(self, indices: np.ndarray, with_nbr_idx: bool = False) -> dict:
         """Raw (un-normalized) batch; device pipeline normalizes."""
-        return {"images": np.ascontiguousarray(self.images[indices]),
-                "poses": np.ascontiguousarray(self.poses[indices]),
-                "adj": np.ascontiguousarray(self.adj[indices])}
+        out = {"images": np.ascontiguousarray(self.images[indices]),
+               "poses": np.ascontiguousarray(self.poses[indices]),
+               "adj": np.ascontiguousarray(self.adj[indices])}
+        if with_nbr_idx and self.nbr_idx is not None:
+            out["nbr_idx"] = np.ascontiguousarray(self.nbr_idx[indices])
+        return out
 
 
 class PackedGraphWriter:
@@ -77,10 +85,13 @@ class PackedGraphWriter:
         self.adj = np.lib.format.open_memmap(
             osp.join(root, "adj.npy"), mode="w+", dtype=bool,
             shape=(num_graphs, num_nodes, num_nodes))
+        self.nbr_idx = np.lib.format.open_memmap(
+            osp.join(root, "nbr_idx.npy"), mode="w+", dtype=np.int32,
+            shape=(num_graphs, num_nodes - 1))
         self._count = 0
 
     def add(self, images_01: np.ndarray, poses: np.ndarray,
-            adj: np.ndarray) -> None:
+            adj: np.ndarray, nbr_idx: np.ndarray | None = None) -> None:
         """images_01: [N, H, W, 3] float RGB in [0,1] (pre-normalization)."""
         i = self._count
         if self.meta["dtype"] == "uint8":
@@ -90,6 +101,10 @@ class PackedGraphWriter:
             self.images[i] = images_01.astype(np.float16)
         self.poses[i] = poses
         self.adj[i] = adj
+        if nbr_idx is not None:
+            self.nbr_idx[i] = nbr_idx
+        else:
+            self.nbr_idx[i] = -1
         self._count += 1
 
     def finalize(self) -> None:
@@ -98,6 +113,7 @@ class PackedGraphWriter:
         self.images.flush()
         self.poses.flush()
         self.adj.flush()
+        self.nbr_idx.flush()
         with open(osp.join(self.root, "meta.json"), "w") as f:
             json.dump(self.meta, f, indent=1)
 

@@ -47,6 +47,48 @@ def embed_database(model: RelPoseGNN, variables, images: np.ndarray,
     return jnp.concatenate(out)
 
 
+def evaluate_scene_cached(model: RelPoseGNN, variables,
+                          packed_ds, database_images: np.ndarray,
+                          batch_size: int = 64,
+                          embed_batch: int = 32) -> dict:
+    """Full-scene cached-serving evaluation over a packed dataset.
+
+    Requires the packed store to carry `nbr_idx` (neighbor database
+    indices, written by the graph builder).  Embeds `database_images`
+    once, then per batch: normalize + encode only the query images and
+    gather cached neighbor embeddings.  Returns {pred [L, 6],
+    target [L, 6]} pose6 arrays for the host-side error computation.
+    """
+    from relpose_gnn_tpu.data.pipeline import make_normalizer
+
+    assert packed_ds.nbr_idx is not None, "dataset lacks nbr_idx.npy"
+    normalize = make_normalizer(packed_ds.mean, packed_ds.std)
+
+    # embed the (raw [0,1] or uint8) database frames once, normalized with
+    # the same per-scene stats as the stored graphs
+    embed = make_embed_fn(model)
+    chunks = []
+    for i in range(0, len(database_images), embed_batch):
+        imgs = normalize(jnp.asarray(database_images[i:i + embed_batch]))
+        chunks.append(embed(variables, imgs))
+    cache = jnp.concatenate(chunks)
+    step = make_cached_eval_step(model)
+
+    preds, targets = [], []
+    for start in range(0, len(packed_ds), batch_size):
+        idx = np.arange(start, min(start + batch_size, len(packed_ds)))
+        batch = packed_ds.batch(idx, with_nbr_idx=True)
+        q_imgs = normalize(jnp.asarray(batch["images"][:, 0]))
+        nbr_emb = cache[jnp.asarray(batch["nbr_idx"])]
+        out = step(variables, q_imgs, nbr_emb,
+                   jnp.asarray(batch["poses"][:, 1:]),
+                   jnp.asarray(batch["adj"]))
+        preds.append(np.asarray(out["pred"]))
+        targets.append(batch["poses"][:, 0])
+    return {"pred": np.concatenate(preds),
+            "target": np.concatenate(targets)}
+
+
 def make_cached_eval_step(model: RelPoseGNN, ref_node: int = 0) -> Callable:
     """Jitted eval over graphs given cached neighbor embeddings.
 

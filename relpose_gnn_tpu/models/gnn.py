@@ -119,6 +119,36 @@ class DenseEdgeGNNGated(nn.Module):
         return x_new, e_new
 
 
+class DenseEdgeGNNNoUpdate(nn.Module):
+    """Dense equivalent of `simpleConvEdge` (my_gnn_layer.py:242-274):
+    edge update like the production layer, but the message MLP reads
+    [x_target, x_source, e'] and the aggregated mean IS the new node state
+    (no update MLP)."""
+
+    node_dim: int
+    edge_dim: int
+    out_dim: int
+    use_attention: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, e: jax.Array,
+                 adj: jax.Array) -> tuple[jax.Array, jax.Array]:
+        n = x.shape[-2]
+        xs = jnp.broadcast_to(x[..., :, None, :],
+                              x.shape[:-2] + (n, n, x.shape[-1]))
+        xt = jnp.broadcast_to(x[..., None, :, :],
+                              x.shape[:-2] + (n, n, x.shape[-1]))
+        e_new = MLP2(self.edge_dim, self.edge_dim, dtype=self.dtype,
+                     name="edge_mlp")(jnp.concatenate([xs, xt, e], axis=-1))
+        # PyG message(x_i, x_j, e): target-then-source order (:266-274)
+        msg = MLP2(self.out_dim, self.out_dim, dtype=self.dtype,
+                   name="msg_mlp")(jnp.concatenate([xt, xs, e_new], axis=-1))
+        if self.use_attention:
+            msg = AttentionBlock(self.out_dim, name="att")(msg)
+        return masked_mean_aggregate(msg, adj), e_new
+
+
 class EdgeConvRotDense(nn.Module):
     """Dense equivalent of `EdgeConvRot` (my_gnn_layer.py:415-449).
 

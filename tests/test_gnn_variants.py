@@ -123,3 +123,31 @@ class TestVisualize:
         out2 = plot_trajectories(p, t, str(tmp_path / "traj2d.png"),
                                  three_d=False)
         assert osp.isfile(out2)
+
+
+class TestPairEncoder:
+    def test_posenetx3_equivalent_runs(self):
+        from relpose_gnn_tpu.models.pair_encoder import RelPoseGNNPairEncoder
+        m = RelPoseGNNPairEncoder(feat_dim=16, edge_dim=16, droprate=0.0,
+                                  stage_sizes=(1, 1, 1, 1))
+        img = jnp.ones((1, 3, 32, 32, 3))
+        adj = jnp.ones((1, 3, 3), bool)
+        v = m.init(jax.random.PRNGKey(0), img, adj, train=False)
+        pa, pr = m.apply(v, img, adj, train=False)
+        assert pa.shape == (1, 3, 6) and pr.shape == (1, 3, 3, 6)
+        # two untied gnn layers + two backbones present
+        names = set(v["params"].keys())
+        assert {"encoder", "edge_encoder", "gnn1", "gnn2"} <= names
+        # edge backbone conv1 takes 6 channels
+        assert v["params"]["edge_encoder"]["conv1"]["kernel"].shape[2] == 6
+
+    def test_no_update_layer_aggregates_messages(self):
+        from relpose_gnn_tpu.models.gnn import DenseEdgeGNNNoUpdate
+        layer = DenseEdgeGNNNoUpdate(node_dim=8, edge_dim=8, out_dim=8)
+        x = jnp.ones((2, 4, 8))
+        e = jnp.ones((2, 4, 4, 8))
+        adj = jnp.ones((2, 4, 4), bool)
+        v = layer.init(jax.random.PRNGKey(0), x, e, adj)
+        xn, en = layer.apply(v, x, e, adj)
+        assert xn.shape == (2, 4, 8) and en.shape == (2, 4, 4, 8)
+        assert "upd_mlp" not in v["params"]

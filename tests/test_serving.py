@@ -61,3 +61,57 @@ class TestCachedServing:
         assert emb.shape == (6, 32)
         np.testing.assert_allclose(np.asarray(emb[:2]), np.asarray(emb[2:4]),
                                    atol=1e-6)
+
+
+class TestSceneCachedEvaluation:
+    def test_matches_full_scene_eval(self, tmp_path):
+        """Graph store built with nbr_idx -> cached scene eval equals the
+        full pixel path prediction-for-prediction."""
+        from relpose_gnn_tpu.data.graph_builder import (GraphBuilderConfig,
+                                                        build_graphs)
+        from relpose_gnn_tpu.data.packed import PackedGraphDataset
+        from relpose_gnn_tpu.data.pipeline import (data_iterator,
+                                                   device_prefetch)
+        from relpose_gnn_tpu.evaluation.serving import evaluate_scene_cached
+
+        rng = np.random.default_rng(0)
+        n_db, h, w = 12, 32, 40
+
+        class Toy:
+            def __init__(self, n):
+                # images pre-quantized to uint8 levels -> lossless storage
+                raw = rng.integers(0, 256, size=(n, h, w, 3))
+                self._imgs = (raw / 255.0).astype(np.float32)
+                self.poses = rng.normal(size=(n, 6)).astype(np.float32)
+
+            def __len__(self):
+                return len(self.poses)
+
+            def load_image(self, i):
+                return self._imgs[i]
+
+        query, database = Toy(6), Toy(n_db)
+        out_root = str(tmp_path / "g")
+        cfg = GraphBuilderConfig(seq_len=4, retrieval_mode="RAND", seed=3)
+        build_graphs(query, database, out_root, cfg, height=h, width=w)
+        ds = PackedGraphDataset(out_root)
+        assert ds.nbr_idx is not None and ds.nbr_idx.shape == (6, 3)
+
+        model, state, _ = (lambda m_s_b: m_s_b)(setup(knn=2, b=2, n=4))[:3]
+        variables = {"params": state.params["model"],
+                     "batch_stats": state.batch_stats}
+
+        # full path over the packed store
+        eval_step = make_eval_step(ref_node=0)
+        preds_full = []
+        it = data_iterator(ds, batch_size=3, shuffle=False, epochs=1)
+        for batch in device_prefetch(it, ds.mean, ds.std):
+            preds_full.append(np.asarray(eval_step(state, batch)["pred"]))
+        preds_full = np.concatenate(preds_full)
+
+        # cached path
+        out = evaluate_scene_cached(model, variables, ds,
+                                    database._imgs, batch_size=3)
+        np.testing.assert_allclose(out["pred"], preds_full, atol=1e-5)
+        np.testing.assert_allclose(out["target"], ds.poses[:, 0],
+                                   atol=1e-6)
