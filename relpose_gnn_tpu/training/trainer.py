@@ -155,15 +155,22 @@ def make_train_step(cfg: TrainerConfig):
     return train_step
 
 
-def make_eval_step(ref_node: int = 0):
+def make_eval_step(ref_node: int = 0, fuse: str = "first"):
     """Build the jitted batched eval step.
 
-    Recovers the query's absolute pose from one predicted relative pose
-    anchored at the nearest database neighbor in feature space — the dense
-    equivalent of testing/test.py:227-233 (first kNN edge into node 0).
+    fuse='first' (default, reference parity): recover the query's absolute
+    pose from ONE predicted relative pose anchored at the nearest database
+    neighbor in feature space — the dense equivalent of
+    testing/test.py:227-233 (first kNN edge into node 0).
+
+    fuse='mean' | 'median': fuse ALL incoming estimates
+    `poses[s] - pred_rel[s, 0]` over edges s -> query (opt-in extension;
+    the reference discards the other N-2 predicted edges).
+
     Returns per-graph (pred_pose6, target_pose6) for the query node; error
     statistics are computed host-side in float64 by the evaluator.
     """
+    assert fuse in ("first", "mean", "median"), fuse
 
     @jax.jit
     def eval_step(state: TrainState, batch: dict):
@@ -174,9 +181,27 @@ def make_eval_step(ref_node: int = 0):
         feats = aux["node_feats"]
         nbr = graph_ops.nearest_neighbor(feats, node=ref_node)  # [B]
         b = pred_rel.shape[0]
-        rp = pred_rel[jnp.arange(b), nbr, ref_node]             # [B, 6]
-        anchor = batch["poses"][jnp.arange(b), nbr]             # GT neighbor
-        pred_query = anchor - rp                                # test.py:230
+        if fuse == "first":
+            rp = pred_rel[jnp.arange(b), nbr, ref_node]         # [B, 6]
+            anchor = batch["poses"][jnp.arange(b), nbr]         # GT neighbor
+            pred_query = anchor - rp                            # test.py:230
+        else:
+            # all estimates poses[s] - RP[s, ref] over incoming edges
+            est = batch["poses"] - pred_rel[:, :, ref_node]     # [B, N, 6]
+            mask = adj[:, :, ref_node]                          # [B, N]
+            if fuse == "mean":
+                w = mask.astype(est.dtype)[..., None]
+                pred_query = jnp.sum(est * w, 1) / jnp.maximum(
+                    jnp.sum(w, 1), 1.0)
+            else:  # masked median per dim: sort with +inf fill
+                big = jnp.where(mask[..., None], est, jnp.inf)
+                srt = jnp.sort(big, axis=1)
+                cnt = jnp.sum(mask, axis=1)                     # [B]
+                lo = jnp.clip((cnt - 1) // 2, 0, est.shape[1] - 1)
+                hi = jnp.clip(cnt // 2, 0, est.shape[1] - 1)
+                take = lambda k: jnp.take_along_axis(  # noqa: E731
+                    srt, k[:, None, None].repeat(6, 2), axis=1)[:, 0]
+                pred_query = 0.5 * (take(lo) + take(hi))
         target_query = batch["poses"][:, ref_node]
         return {"pred": pred_query, "target": target_query,
                 "pred_abs": pred_abs[:, ref_node], "nbr": nbr}

@@ -169,3 +169,45 @@ class TestLRSchedule:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+class TestFusedEval:
+    def test_mean_and_median_fusion(self):
+        model = tiny_model(knn=0)
+        tcfg = TrainerConfig(steps_per_epoch=10)
+        batch = tiny_batch(b=3)
+        state = create_train_state(jax.random.PRNGKey(0), model, tcfg,
+                                   batch["images"], batch["adj"])
+        out_first = make_eval_step(fuse="first")(state, batch)
+        out_mean = make_eval_step(fuse="mean")(state, batch)
+        out_med = make_eval_step(fuse="median")(state, batch)
+        for o in (out_first, out_mean, out_med):
+            assert o["pred"].shape == (3, 6)
+            assert np.isfinite(np.asarray(o["pred"])).all()
+        # fusion modes generally differ from the single-edge estimate
+        assert not np.allclose(np.asarray(out_first["pred"]),
+                               np.asarray(out_mean["pred"]))
+
+    def test_mean_fusion_matches_numpy(self):
+        """With a static fc graph, mean fusion == numpy masked mean of
+        poses[s] - pred_rel[s, 0]."""
+        model = tiny_model(knn=0)
+        tcfg = TrainerConfig(steps_per_epoch=10)
+        batch = tiny_batch(b=2)
+        state = create_train_state(jax.random.PRNGKey(0), model, tcfg,
+                                   batch["images"], batch["adj"])
+        # grab raw predictions
+        pred_abs, pred_rel, adj, aux = state.apply_fn(
+            {"params": state.params["model"],
+             "batch_stats": state.batch_stats},
+            batch["images"], batch["adj"], train=False)
+        pred_rel = np.asarray(pred_rel)
+        adj_np = np.asarray(adj)
+        poses = np.asarray(batch["poses"])
+        want = []
+        for b in range(2):
+            ests = [poses[b, s] - pred_rel[b, s, 0]
+                    for s in range(4) if adj_np[b, s, 0]]
+            want.append(np.mean(ests, axis=0))
+        out = make_eval_step(fuse="mean")(state, batch)
+        np.testing.assert_allclose(np.asarray(out["pred"]), want, atol=1e-5)
