@@ -36,7 +36,7 @@ import flax.linen as nn
 
 from relpose_gnn_tpu.models.attention import AttentionBlock
 from relpose_gnn_tpu.models.gnn import DenseEdgeGNN, MLP2
-from relpose_gnn_tpu.models.resnet import ResNet, ResNet34
+from relpose_gnn_tpu.models.resnet import ResNet
 from relpose_gnn_tpu.ops import graph as graph_ops
 
 
@@ -58,6 +58,9 @@ class RelPoseGNNConfig:
     eval_dropout: bool = False  # replicate F.dropout(training=True) quirk
     backbone: str = "resnet34"
     dtype: Any = None           # compute dtype for backbone/GNN (bf16 on TPU)
+    remat: bool = False         # jax.checkpoint the backbone (activation
+    #                             rematerialization: trades FLOPs for HBM,
+    #                             enables larger train batches)
 
     @classmethod
     def preset(cls, name: str, **overrides) -> "RelPoseGNNConfig":
@@ -82,14 +85,20 @@ class RelPoseGNN(nn.Module):
 
     def setup(self):
         c = self.cfg
+        # static_argnums=(2,): `train` flag (argnum 0 is the module itself)
+        resnet_cls = (nn.remat(ResNet, static_argnums=(2,)) if c.remat
+                      else ResNet)
         if c.backbone == "resnet34":
-            self.encoder = ResNet34(feat_dim=c.feat_dim, dtype=c.dtype)
+            self.encoder = resnet_cls(stage_sizes=(3, 4, 6, 3),
+                                      feat_dim=c.feat_dim, dtype=c.dtype)
         elif c.backbone == "resnet18":
-            self.encoder = ResNet(stage_sizes=(2, 2, 2, 2),
-                                  feat_dim=c.feat_dim, dtype=c.dtype)
+            self.encoder = resnet_cls(stage_sizes=(2, 2, 2, 2),
+                                      feat_dim=c.feat_dim, dtype=c.dtype)
         elif c.backbone == "vit":
             from relpose_gnn_tpu.models.vit import ViTEncoder
-            self.encoder = ViTEncoder(feat_dim=c.feat_dim, dtype=c.dtype)
+            vit_cls = (nn.remat(ViTEncoder, static_argnums=(2,))
+                       if c.remat else ViTEncoder)
+            self.encoder = vit_cls(feat_dim=c.feat_dim, dtype=c.dtype)
         else:
             raise ValueError(f"unknown backbone {c.backbone!r}")
 
@@ -114,7 +123,7 @@ class RelPoseGNN(nn.Module):
         """[B, N, H, W, 3] -> [B, N, feat_dim] through the shared backbone."""
         b, n = images.shape[:2]
         flat = images.reshape((b * n,) + images.shape[2:])
-        feats = self.encoder(flat, train=train)
+        feats = self.encoder(flat, train)  # positional: remat static argnum
         return feats.reshape(b, n, -1).astype(jnp.float32)
 
     def __call__(self, images: jax.Array, adj: jax.Array,

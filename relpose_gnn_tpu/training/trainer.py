@@ -52,6 +52,8 @@ class TrainerConfig:
     use_vo_loss: bool = True         # train.py:60
     edge_keep_factor: float = 0.5    # train.py:72
     edge_dropout_effective: bool = False  # replicate the no-op quirk
+    filter_nans: bool = False        # zero non-finite grads before Adam
+    #                                  (posenet.py:30-36 backward-hook parity)
     steps_per_epoch: int = 1000
     grad_accum: int = 1
 
@@ -79,10 +81,16 @@ def make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
         transition_steps=cfg.lr_decay_step * cfg.steps_per_epoch,
         decay_rate=cfg.lr_decay,
         staircase=True)
-    return optax.chain(
+    parts = []
+    if cfg.filter_nans:
+        # closest optax analog of the reference's NaN-filter backward hook
+        # (modules/posenet.py:30-36, off by default there too)
+        parts.append(optax.zero_nans())
+    parts += [
         optax.add_decayed_weights(cfg.weight_decay),
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
-        optax.scale_by_learning_rate(schedule))
+        optax.scale_by_learning_rate(schedule)]
+    return optax.chain(*parts)
 
 
 def create_train_state(rng: jax.Array, model: RelPoseGNN, cfg: TrainerConfig,
