@@ -64,23 +64,27 @@ def main(argv=None):
     train = args.mode == "train"
     total = 0
     for scene in scenes:
+        # datasets for the builder load RAW [0,1] pixels; the per-scene
+        # normalization stats go into the packed header and are applied on
+        # device by the pipeline (data/packed.py design)
         if args.dataset == "7Scenes":
-            mean = std = None
+            mean, std = np.zeros(3), np.ones(3)
             if args.stats_path:
                 mean, std = load_scene_stats(args.stats_path, scene)
-            query = SevenScenes(scene, args.data_path, train=train,
-                                mean=mean, std=std)
+            query = SevenScenes(scene, args.data_path, train=train)
             database = (query if train else
-                        SevenScenes(scene, args.data_path, train=True,
-                                    mean=mean, std=std))
+                        SevenScenes(scene, args.data_path, train=True))
             width = 341  # 640x480 -> Resize(256)
         else:
             query = CambridgeLandmark(
                 scene, args.data_path, train=train,
-                pose_stats_file=args.pose_stat_path, color_jitter=train)
+                pose_stats_file=args.pose_stat_path, color_jitter=train,
+                normalize_images=False)
             database = (query if train else CambridgeLandmark(
                 scene, args.data_path, train=True,
-                pose_stats_file=args.pose_stat_path, color_jitter=train))
+                pose_stats_file=args.pose_stat_path, color_jitter=train,
+                normalize_images=False))
+            mean, std = query.mean, query.std  # Normalize(0.5, 0.25)
             width = 455  # 1920x1080 -> Resize(256)
 
         sim_fn = invalid_fn = None
@@ -97,7 +101,8 @@ def main(argv=None):
             cross_connect=args.cross_connect,
             database_is_query_set=train, seed=args.seed)
         n = build_graphs(query, database, out, cfg, similarity_fn=sim_fn,
-                         invalid_fn=invalid_fn, width=width)
+                         invalid_fn=invalid_fn, mean=mean, std=std,
+                         width=width)
         print(f"{scene}: wrote {n} graphs -> {out}")
         total += n
     print(f"total graphs: {total}")

@@ -20,6 +20,9 @@ def parse_args(argv):
     p.add_argument("--model-name", type=str, default="R3")
     p.add_argument("--batch-size", type=int, default=64,
                    help="eval batch (the reference is fixed at 1)")
+    p.add_argument("--serving-data-path", type=str, default=None,
+                   help="raw dataset root; enables the cached-embedding "
+                        "serving path when graph stores carry nbr_idx")
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--knn", default=4, type=int)
     p.add_argument("--dtype", default="bfloat16",
@@ -40,7 +43,7 @@ def main(argv=None):
         weights_filename=args.weights_filename,
         pose_stats_file=args.pose_stat_path, dtype=args.dtype,
         experiment=2, train_scene=args.test_scene)
-    results = run_eval(cfg)
+    results = run_eval(cfg, serving_data_path=args.serving_data_path)
     for scene, err in results.items():
         print(f"{scene}: median t {err.median_t:.3f} m, "
               f"median rot {err.median_q:.2f} deg")

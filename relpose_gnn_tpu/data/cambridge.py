@@ -45,6 +45,8 @@ class CambridgeLandmark:
     pose_stats_file: str | None = None
     normalize_translation: bool = True
     color_jitter: bool = False  # builder applies jitter for training graphs
+    normalize_images: bool = True  # False: packed builder stores raw [0,1]
+    #                                and records mean/std in the meta header
     seed: int = 7
 
     def __post_init__(self):
@@ -89,7 +91,9 @@ class CambridgeLandmark:
             return None
         if self.color_jitter:
             x = T.color_jitter(self._jitter_rng, x, 0.5, 0.5, 0.5, 0.2)
-        return T.normalize(x, self.mean, self.std)
+        if self.normalize_images:
+            return T.normalize(x, self.mean, self.std)
+        return x
 
     def __getitem__(self, index: int):
         img = None

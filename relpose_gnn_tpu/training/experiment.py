@@ -61,6 +61,8 @@ class ExperimentConfig:
     weights_filename: str = ""
     pose_stats_file: str = ""          # Cambridge translation stats
     dtype: str = "bfloat16"
+    backbone: str = "resnet34"         # test hook / stretch configs
+    feat_dim: int = 0                  # 0 = preset default (2048 for R3)
 
 
 def scene_lists(cfg: ExperimentConfig) -> tuple[list[str], list[str]]:
@@ -97,10 +99,16 @@ def load_datasets(cfg: ExperimentConfig):
 
 def build_model(cfg: ExperimentConfig) -> RelPoseGNN:
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else None
+    overrides = dict(num_nodes=cfg.seq_len, knn=cfg.knn,
+                     droprate=cfg.droprate,
+                     gnn_recursion=cfg.gnn_recursion, dtype=dtype,
+                     backbone=cfg.backbone)
+    if cfg.feat_dim:
+        overrides.update(feat_dim=cfg.feat_dim, edge_dim=cfg.feat_dim,
+                         node_dim=cfg.feat_dim)
     mcfg = RelPoseGNNConfig.preset(
         cfg.model_name if cfg.model_name in ("R1", "R2", "R3") else "R3",
-        num_nodes=cfg.seq_len, knn=cfg.knn, droprate=cfg.droprate,
-        gnn_recursion=cfg.gnn_recursion, dtype=dtype)
+        **overrides)
     return RelPoseGNN(mcfg)
 
 
@@ -173,7 +181,18 @@ def run_training(cfg: ExperimentConfig) -> dict:
 
 
 def run_eval(cfg: ExperimentConfig, weights: str | None = None,
-             save_predictions: bool = True) -> dict:
+             save_predictions: bool = True,
+             serving_data_path: str | None = None) -> dict:
+    """Evaluate per scene; with `serving_data_path` (raw dataset root) and
+    graph stores that carry nbr_idx, uses the cached-embedding serving path
+    (evaluation/serving.py) — identical predictions, ~N x less backbone
+    work."""
+    return _run_eval(cfg, weights, save_predictions, serving_data_path)
+
+
+def _run_eval(cfg: ExperimentConfig, weights: str | None,
+              save_predictions: bool,
+              serving_data_path: str | None) -> dict:
     logdir = Path(cfg.save_dir) / cfg.dataset / cfg.test_scene / cfg.exp_name
     logger = get_logger(logfile=str(logdir / "eval.log"))
     _, test_ds = load_datasets(cfg)
@@ -197,10 +216,47 @@ def run_eval(cfg: ExperimentConfig, weights: str | None = None,
     mean_t, std_t = pose_stats(cfg)
     results = {}
     for s, ds in test_ds.items():
-        err = evaluate_scene(eval_step, state, ds, cfg.batch_size, mean_t,
-                             std_t)
+        if serving_data_path is not None and ds.nbr_idx is not None:
+            err = _evaluate_scene_serving(cfg, model, state, ds, s,
+                                          serving_data_path, mean_t, std_t)
+        else:
+            err = evaluate_scene(eval_step, state, ds, cfg.batch_size,
+                                 mean_t, std_t)
         logger.info("[scene %s] %s", s, err)
         if save_predictions:
             save_poses(str(logdir), s, err)
         results[s] = err
     return results
+
+
+def _evaluate_scene_serving(cfg: ExperimentConfig, model, state, ds,
+                            scene: str, raw_data_path: str, mean_t, std_t):
+    """Cached-embedding serving over one scene: database = the scene's
+    train split (the graph builder's neighbor source)."""
+    from relpose_gnn_tpu.evaluation.serving import evaluate_scene_cached
+
+    h, w = ds.meta["height"], ds.meta["width"]
+    # database images must match the builder's raw [0,1] pixels and size
+    # (normalization happens on device with the packed header's stats)
+    if cfg.dataset == "7Scenes":
+        from relpose_gnn_tpu.data.seven_scenes import SevenScenes
+        database = SevenScenes(scene, raw_data_path, train=True,
+                               image_size=h)
+    else:
+        from relpose_gnn_tpu.data.cambridge import CambridgeLandmark
+        database = CambridgeLandmark(
+            scene, raw_data_path, train=True, image_size=h,
+            pose_stats_file=cfg.pose_stats_file or None,
+            normalize_translation=bool(cfg.pose_stats_file),
+            normalize_images=False)
+    imgs = np.zeros((len(database), h, w, 3), np.float32)
+    from relpose_gnn_tpu.data.graph_builder import _fit
+    for i in range(len(database)):
+        img = database.load_image(i)
+        imgs[i] = _fit(img, h, w)
+    variables = {"params": state.params["model"],
+                 "batch_stats": state.batch_stats}
+    out = evaluate_scene_cached(model, variables, ds, imgs,
+                                batch_size=cfg.batch_size)
+    return compute_pose_errors(out["pred"], out["target"],
+                               pose_mean=mean_t, pose_std=std_t)

@@ -1,0 +1,102 @@
+"""Experiment orchestration integration test: scene lists, run_training on
+a tiny real-layout dataset, run_eval (full + cached serving)."""
+
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from test_data import write_7scenes_fixture
+
+from relpose_gnn_tpu.data.graph_builder import GraphBuilderConfig, build_graphs
+from relpose_gnn_tpu.data.seven_scenes import SevenScenes
+from relpose_gnn_tpu.training.experiment import (ExperimentConfig,
+                                                 dataset_root, run_eval,
+                                                 run_training, scene_lists)
+
+
+class TestSceneLists:
+    def test_multi(self):
+        cfg = ExperimentConfig(dataset="7Scenes", experiment=0,
+                               test_scene="multi")
+        train, test = scene_lists(cfg)
+        assert len(train) == 7 and len(test) == 7
+
+    def test_leave_one_out(self):
+        cfg = ExperimentConfig(dataset="7Scenes", experiment=1,
+                               test_scene="chess")
+        train, test = scene_lists(cfg)
+        assert "chess" not in train and len(train) == 6
+        assert test == ["chess"]
+
+    def test_single(self):
+        cfg = ExperimentConfig(dataset="7Scenes", experiment=2,
+                               train_scene="fire", test_scene="fire")
+        train, test = scene_lists(cfg)
+        assert train == ["fire"] and test == ["fire"]
+
+    def test_cambridge(self):
+        cfg = ExperimentConfig(dataset="Cambridge", experiment=0,
+                               test_scene="multi")
+        train, test = scene_lists(cfg)
+        assert len(train) == 5
+
+    def test_dataset_root_sp(self):
+        assert dataset_root("/d/", "chess", "7Scenes", "train") \
+            .endswith("chess_fc8_sp5_train")
+        assert dataset_root("/d/", "ShopFacade", "Cambridge", "test") \
+            .endswith("ShopFacade_fc8_sp3_test")
+
+
+@pytest.fixture(scope="module")
+def experiment_dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("exp")
+    raw = str(root / "raw")
+    graphs = str(root / "graphs")
+    write_7scenes_fixture(raw, scene="chess", n_seqs=2, n_frames=5,
+                          train=True, size=(40, 32))
+    write_7scenes_fixture(raw, scene="chess", n_seqs=1, n_frames=4,
+                          train=False, size=(40, 32))
+    train_q = SevenScenes("chess", raw, train=True, image_size=32)
+    test_q = SevenScenes("chess", raw, train=False, image_size=32)
+    bcfg = GraphBuilderConfig(seq_len=8, retrieval_mode="RAND", seed=0)
+    build_graphs(train_q, train_q, osp.join(graphs, "chess_fc8_sp5_train"),
+                 bcfg, height=32, width=40)
+    build_graphs(test_q, train_q, osp.join(graphs, "chess_fc8_sp5_test"),
+                 bcfg, height=32, width=40)
+    return root, raw, graphs
+
+
+def tiny_cfg(graphs, **kw):
+    base = dict(dataset="7Scenes", experiment=2, train_scene="chess",
+                test_scene="chess", train_data_dir=graphs + "/",
+                test_data_dir=graphs + "/", exp_name="t",
+                model_name="R3", backbone="resnet18", feat_dim=32,
+                batch_size=4, seq_len=8, max_epoch=1, eval_after_epoch=99,
+                dtype="float32", knn=2)
+    base.update(kw)
+    return ExperimentConfig(**base)
+
+
+class TestRunTrainingAndEval:
+    def test_training_one_epoch(self, experiment_dirs, tmp_path):
+        root, raw, graphs = experiment_dirs
+        cfg = tiny_cfg(graphs, save_dir=str(tmp_path / "out"))
+        out = run_training(cfg)
+        assert "state" in out
+        assert osp.isfile(str(tmp_path / "out/7Scenes/chess/t/"
+                              "metrics.jsonl"))
+
+    def test_eval_full_and_serving_agree(self, experiment_dirs, tmp_path):
+        root, raw, graphs = experiment_dirs
+        cfg = tiny_cfg(graphs, save_dir=str(tmp_path / "o1"))
+        full = run_eval(cfg, save_predictions=False)
+        cfg2 = tiny_cfg(graphs, save_dir=str(tmp_path / "o2"))
+        served = run_eval(cfg2, save_predictions=False,
+                          serving_data_path=raw)
+        e1, e2 = full["chess"], served["chess"]
+        # same random-init model (same seed): errors must agree closely;
+        # uint8 storage of neighbors vs re-decoded database images differ
+        # at the 1/255 level only
+        assert abs(e1.median_t - e2.median_t) < 0.2
+        assert np.isfinite(e2.median_q)
