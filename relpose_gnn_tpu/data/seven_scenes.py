@@ -53,6 +53,7 @@ class SevenScenes:
     image_size: int = 256
     mean: np.ndarray | None = None  # per-scene stats normalization
     std: np.ndarray | None = None
+    mode: int = 0  # 0: RGB, 1: depth, 2: (RGB, depth) — seven_scenes.py:29
 
     def __post_init__(self):
         base = osp.join(osp.expanduser(str(self.data_path)), self.scene)
@@ -96,12 +97,35 @@ class SevenScenes:
         return T.load_and_preprocess(self.c_imgs[index], self.image_size,
                                      self.mean, self.std)
 
+    def load_depth(self, index: int) -> np.ndarray | None:
+        """Depth frame in metres [H, W] (mm with 65535 = invalid -> 0,
+        seven_scene_manual_dataset.py:15-18), resized like the RGB."""
+        from PIL import Image
+        try:
+            img = Image.open(self.d_imgs[index])
+        except (IOError, OSError):
+            return None
+        img = T.resize_short_side(img, self.image_size)
+        d = np.asarray(img, np.float32)
+        d[np.asarray(img) == 65535] = 0.0
+        return d / 1000.0
+
+    def _load_mode(self, index: int):
+        if self.mode == 0:
+            return self.load_image(index)
+        if self.mode == 1:
+            return self.load_depth(index)
+        if self.mode == 2:
+            c, d = self.load_image(index), self.load_depth(index)
+            return None if (c is None or d is None) else (c, d)
+        raise ValueError(f"bad mode {self.mode}")
+
     def __getitem__(self, index: int):
-        """(image [H, W, 3] f32, pose6 [6], relative path); skips forward
-        over corrupt images like the reference (:131-137)."""
+        """(image(s), pose6 [6], relative path); skips forward over corrupt
+        images like the reference (:131-144)."""
         img = None
         while img is None:
-            img = self.load_image(index)
+            img = self._load_mode(index)
             pose = self.poses[index]
             path = self.c_imgs[index]
             index += 1

@@ -285,3 +285,20 @@ class TestPipeline:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+class TestSevenScenesDepthModes:
+    def test_depth_mode(self, tmp_path):
+        write_7scenes_fixture(str(tmp_path))
+        ds = SevenScenes("chess", str(tmp_path), train=True, image_size=32,
+                         mode=1)
+        d, pose, rel = ds[0]
+        assert d.ndim == 2 and d.shape[0] == 32
+        assert (d >= 0).all()
+
+    def test_rgbd_mode(self, tmp_path):
+        write_7scenes_fixture(str(tmp_path))
+        ds = SevenScenes("chess", str(tmp_path), train=True, image_size=32,
+                         mode=2)
+        (c, d), pose, rel = ds[0]
+        assert c.shape[2] == 3 and d.ndim == 2
