@@ -57,6 +57,33 @@ def data_iterator(dataset, batch_size: int, seed: int = 0,
         epoch += 1
 
 
+def native_data_iterator(root: str, batch_size: int, seed: int = 0,
+                         shuffle: bool = True, epochs: int | None = 1,
+                         drop_remainder: bool = True,
+                         threads: int = 4) -> Iterator[dict]:
+    """Batch iterator backed by the C++ graphio runtime (mmap + thread-pool
+    gather + async prefetch, native/graphio.cc).  Falls back to the numpy
+    path when the native library is unavailable."""
+    from relpose_gnn_tpu.data import native_io
+    from relpose_gnn_tpu.data.packed import PackedGraphDataset
+
+    if not native_io.available():
+        yield from data_iterator(PackedGraphDataset(root), batch_size,
+                                 seed=seed, shuffle=shuffle, epochs=epochs,
+                                 drop_remainder=drop_remainder)
+        return
+    loader = native_io.NativeBatchLoader(root, threads=threads)
+    try:
+        epoch = 0
+        while epochs is None or epoch < epochs:
+            rng = np.random.default_rng(seed + epoch)
+            yield from loader.epoch(rng, batch_size, shuffle=shuffle,
+                                    drop_remainder=drop_remainder)
+            epoch += 1
+    finally:
+        loader.close()
+
+
 def device_prefetch(host_iter: Iterator[dict], mean: np.ndarray,
                     std: np.ndarray, prefetch: int = 2,
                     sharding=None) -> Iterator[dict]:

@@ -76,3 +76,16 @@ class TestNativeBatchLoader:
             np.random.default_rng(0), batch_size=3, drop_remainder=False))
         assert total == 7
         loader.close()
+
+
+class TestNativePipelineIntegration:
+    def test_native_data_iterator(self, tmp_path):
+        from relpose_gnn_tpu.data.pipeline import native_data_iterator
+        root, recs = make_packed(tmp_path, n=8)
+        seen = []
+        for batch in native_data_iterator(root, batch_size=4, epochs=2,
+                                          shuffle=True, threads=2):
+            assert batch["images"].shape[0] == 4
+            seen.extend(batch["poses"][:, 0, 0].astype(int).tolist())
+        assert len(seen) == 16  # 2 epochs x 8
+        assert sorted(set(seen)) == list(range(8))
