@@ -133,6 +133,25 @@ class SevenScenes:
         return img, pose, rel
 
 
+def leave_one_out_file_mask(file_indices: np.ndarray,
+                            excluded_scenes) -> np.ndarray:
+    """Keep-mask over a prebuilt multi-scene graph store's file indices.
+
+    The reference's combined 26k-graph store encodes scenes by file-index
+    ranges and drops an excluded scene's files for leave-one-out training
+    (dataset_7Scenes_multi.py:80-110, ranges in SCENE_FILE_INDEX_RANGES).
+    Returns True for files to KEEP.
+    """
+    if isinstance(excluded_scenes, str):
+        excluded_scenes = (excluded_scenes,)
+    idx = np.asarray(file_indices)
+    keep = np.ones(len(idx), bool)
+    for scene in excluded_scenes or ():
+        lo, hi = SCENE_FILE_INDEX_RANGES[scene]
+        keep &= ~((idx > lo) & (idx < hi))
+    return keep
+
+
 def load_scene_stats(stats_dir: str, scene: str) -> tuple[np.ndarray,
                                                           np.ndarray]:
     """Per-scene RGB stats file 'stats.txt' (mean row, var row) ->

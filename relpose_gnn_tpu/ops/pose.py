@@ -142,6 +142,21 @@ def calc_vo_relative_logq(p0: jax.Array, p1: jax.Array) -> jax.Array:
     return jnp.concatenate([vo[..., :3], qlog(vo[..., 3:])], axis=-1)
 
 
+def calc_vos_fc(poses: jax.Array) -> jax.Array:
+    """Fully-connected geometric VO on pose6 sequences.
+
+    `poses` [..., T, 6] -> [..., T*(T-1)/2, 6]: for every i < j the relative
+    pose of j in i's frame, log-mapped — the vectorized equivalent of
+    `calc_vos_safe_fc` (pose_utils.py:307-321) without the per-pair Python
+    loop or the numpy round-trip.
+    """
+    t = poses.shape[-2]
+    src, dst = jnp.triu_indices(t, k=1)
+    p0 = poses[..., src, :]
+    p1 = poses[..., dst, :]
+    return calc_vo_logq(p0, p1)
+
+
 def calc_vos_simple(poses: jax.Array) -> jax.Array:
     """Consecutive-frame visual odometry as plain vector differences.
 
