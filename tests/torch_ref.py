@@ -79,3 +79,85 @@ class TorchNetVLADPool(nn.Module):
             - a.sum(-1)[..., None] * self.centroids[None]
         vlad = F.normalize(vlad, p=2, dim=2).view(n, -1)
         return F.normalize(vlad, p=2, dim=1)
+
+
+class TorchSimpleConvEdgeUpt(nn.Module):
+    """Reference-semantics GNN layer on sparse edge lists (state-dict names
+    match convert._gnn_layer expectations: mlp, mlp_updating,
+    edge_model.edge_mlp, att)."""
+
+    def __init__(self, dim):
+        super().__init__()
+        self.mlp = nn.Sequential(nn.Linear(2 * dim, dim), nn.ReLU(),
+                                 nn.Linear(dim, dim))
+        self.mlp_updating = nn.Sequential(nn.Linear(2 * dim, dim),
+                                          nn.ReLU(), nn.Linear(dim, dim))
+
+        class EdgeModel(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.edge_mlp = nn.Sequential(
+                    nn.Linear(3 * dim, dim), nn.ReLU(),
+                    nn.Linear(dim, dim))
+
+        self.edge_model = EdgeModel()
+
+        class Att(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.g = nn.Linear(dim, dim // 8)
+                self.theta = nn.Linear(dim, dim // 8)
+                self.phi = nn.Linear(dim, dim // 8)
+                self.W = nn.Linear(dim // 8, dim)
+
+            def forward(self, x):  # 1-token softmax == identity weight
+                return x + self.W(self.g(x))
+
+        self.att = Att()
+
+    def forward(self, x, edge_index, e):
+        src, dst = edge_index[0], edge_index[1]
+        e_new = self.edge_model.edge_mlp(
+            torch.cat([x[src], x[dst], e], dim=1))
+        # message: x_j = source features (PyG source_to_target flow)
+        msg = self.att(self.mlp(torch.cat([x[src], e_new], dim=1)))
+        # scatter-mean at targets
+        n = x.shape[0]
+        aggr = torch.zeros(n, msg.shape[1])
+        cnt = torch.zeros(n, 1)
+        aggr.index_add_(0, dst, msg)
+        cnt.index_add_(0, dst, torch.ones(len(dst), 1))
+        aggr = aggr / cnt.clamp(min=1.0)
+        x_new = self.mlp_updating(torch.cat([x, aggr], dim=1))
+        return x_new, e_new
+
+
+class TorchRelPoseGNN(nn.Module):
+    """Full reference-semantics model (PoseNetX_R2, static fc graph,
+    weight-tied gnn1 applied `recursion` times), torchvision-style
+    state-dict names for convert.convert_relpose_gnn."""
+
+    def __init__(self, dim=32, stage_sizes=(2, 2, 2, 2), recursion=2):
+        super().__init__()
+        self.feature_extractor = TorchResNet(stage_sizes, feat_dim=dim)
+        self.proj_edge = nn.Linear(2 * dim, dim)
+        self.gnn1 = TorchSimpleConvEdgeUpt(dim)
+        self.fc_xyz = nn.Linear(dim, 3)
+        self.fc_wpqr = nn.Linear(dim, 3)
+        self.fc_xyz_R = nn.Linear(dim, 3)
+        self.fc_wpqr_R = nn.Linear(dim, 3)
+        self.recursion = recursion
+
+    def forward(self, images_nchw, edge_index):
+        x = self.feature_extractor(images_nchw)
+        lo = torch.minimum(edge_index[0], edge_index[1])
+        hi = torch.maximum(edge_index[0], edge_index[1])
+        e = torch.cat([x[lo], x[hi]], dim=1)
+        e = F.relu(self.proj_edge(e))
+        for _ in range(self.recursion):
+            x, e = self.gnn1(x, edge_index, e)
+            x = F.relu(x)
+            e = F.relu(e)
+        pred = torch.cat([self.fc_xyz(x), self.fc_wpqr(x)], dim=1)
+        pred_r = torch.cat([self.fc_xyz_R(e), self.fc_wpqr_R(e)], dim=1)
+        return pred, pred_r
