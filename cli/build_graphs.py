@@ -114,8 +114,10 @@ def _retrieval_fns(args, scene, query_ds, database_ds):
     db_is_q = args.mode == "train"
 
     if args.dataset == "7Scenes":
+        from PIL import Image
+
         from relpose_gnn_tpu.retrieval.netvlad_index import (
-            NetVLADIndex, imagenet_normalize)
+            NetVLADIndex, netvlad_preprocess_7scenes)
         variables = None
         if args.netvlad_checkpoint:
             from relpose_gnn_tpu.models import convert
@@ -124,10 +126,13 @@ def _retrieval_fns(args, scene, query_ds, database_ds):
         index = NetVLADIndex(variables=variables)
 
         def embed_all(ds):
+            # reference geometry: raw 640x480 frame -> depth-intrinsics
+            # crop -> 192x256 (seven_scene_manual_dataset.py:34-61)
             imgs = []
             for i in range(len(ds)):
-                x = ds.load_image(i)
-                imgs.append(imagenet_normalize(_resize_hw(x, 192, 256)))
+                raw = Image.open(ds.c_imgs[i]).convert("RGB")
+                x = np.asarray(raw, np.float32) / 255.0
+                imgs.append(netvlad_preprocess_7scenes(x))
             return index.embed(np.stack(imgs))
 
         db_desc = embed_all(database_ds)
@@ -156,12 +161,6 @@ def _retrieval_fns(args, scene, query_ds, database_ds):
 
     return sim_fn, invalid_fn
 
-
-def _resize_hw(x: np.ndarray, h: int, w: int) -> np.ndarray:
-    from PIL import Image
-    img = Image.fromarray((np.clip(x, 0, 1) * 255).astype(np.uint8))
-    return np.asarray(img.resize((w, h), Image.BILINEAR),
-                      np.float32) / 255.0
 
 
 if __name__ == "__main__":

@@ -22,11 +22,38 @@ from relpose_gnn_tpu.retrieval import subsample
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
+# 7-Scenes Kinect intrinsics: RGB camera vs depth camera
+# (seven_scene_manual_dataset.py:34-35: K_img fx=525, K_depth fx=585)
+K_7SCENES_RGB = np.array([[525.0, 0, 320], [0, 525.0, 240], [0, 0, 1]])
+K_7SCENES_DEPTH = np.array([[585.0, 0, 320], [0, 585.0, 240], [0, 0, 1]])
+
 
 def imagenet_normalize(images: np.ndarray) -> np.ndarray:
     """[..., H, W, 3] float RGB in [0,1] -> ImageNet-normalized (the
     transform at dataset_7Scenes_multi.py:162-163)."""
     return (images - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def netvlad_preprocess_7scenes(img_01: np.ndarray,
+                               out_hw: tuple[int, int] = (192, 256)
+                               ) -> np.ndarray:
+    """Reference NetVLAD input geometry for a raw 640x480 7-Scenes frame:
+    FOV crop from the RGB to the depth intrinsics, then resize to 192x256
+    (seven_scene_manual_dataset.py:34-61) and ImageNet-normalize.
+
+    For non-640x480 inputs (already-resized frames), skips the intrinsics
+    crop and just resizes.
+    """
+    from PIL import Image
+
+    from relpose_gnn_tpu.ops.camera import crop_by_intrinsic
+
+    if img_01.shape[:2] == (480, 640):
+        img_01 = crop_by_intrinsic(img_01, K_7SCENES_RGB, K_7SCENES_DEPTH)
+    pil = Image.fromarray((np.clip(img_01, 0, 1) * 255).astype(np.uint8))
+    out = np.asarray(pil.resize((out_hw[1], out_hw[0]), Image.BILINEAR),
+                     np.float32) / 255.0
+    return imagenet_normalize(out)
 
 
 class NetVLADIndex:

@@ -149,3 +149,24 @@ class TestClassicalVLAD:
         index.save(p)
         loaded = VLADIndex.load(p)
         np.testing.assert_array_equal(loaded.descriptors, index.descriptors)
+
+
+class TestNetVLADPreprocess:
+    def test_raw_frame_geometry(self):
+        import numpy as np
+        from relpose_gnn_tpu.retrieval.netvlad_index import (
+            netvlad_preprocess_7scenes)
+        rng = np.random.default_rng(0)
+        raw = rng.random((480, 640, 3)).astype(np.float32)
+        out = netvlad_preprocess_7scenes(raw)
+        assert out.shape == (192, 256, 3)
+        # ImageNet-normalized range
+        assert out.min() > -3 and out.max() < 3
+
+    def test_resized_frame_skips_crop(self):
+        import numpy as np
+        from relpose_gnn_tpu.retrieval.netvlad_index import (
+            netvlad_preprocess_7scenes)
+        x = np.random.default_rng(1).random((256, 341, 3)).astype(np.float32)
+        out = netvlad_preprocess_7scenes(x)
+        assert out.shape == (192, 256, 3)
