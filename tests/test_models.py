@@ -201,3 +201,24 @@ class TestRelPoseGNN:
                     np.testing.assert_allclose(rp[b, s, t],
                                                pn[b, s] - pn[b, t],
                                                atol=1e-6)
+
+
+class TestEvalDropoutQuirk:
+    def test_eval_dropout_flag_restores_reference_behavior(self):
+        """The reference applies F.dropout(training=True) even in eval
+        (posenet.py:1073-1075); eval_dropout=True replicates that
+        stochastic eval, default stays deterministic."""
+        base = dict(num_nodes=4, feat_dim=32, edge_dim=32, node_dim=32,
+                    knn=0, backbone="resnet18", droprate=0.5)
+        model = RelPoseGNN(RelPoseGNNConfig(eval_dropout=True, **base))
+        images = jnp.ones((1, 4, 32, 40, 3))
+        adj = jnp.asarray(np.broadcast_to(graph_ops.fc_adjacency(4),
+                                          (1, 4, 4)))
+        v = model.init({"params": jax.random.PRNGKey(0),
+                        "dropout": jax.random.PRNGKey(0)}, images, adj,
+                       train=False)
+        o1 = model.apply(v, images, adj, train=False,
+                         rngs={"dropout": jax.random.PRNGKey(1)})[1]
+        o2 = model.apply(v, images, adj, train=False,
+                         rngs={"dropout": jax.random.PRNGKey(2)})[1]
+        assert not np.allclose(np.asarray(o1), np.asarray(o2))
