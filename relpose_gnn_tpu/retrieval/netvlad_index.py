@@ -9,7 +9,7 @@ encoder instead of batch_size=1.
 
 from __future__ import annotations
 
-from typing import Callable, Iterable
+from typing import Iterable
 
 import numpy as np
 

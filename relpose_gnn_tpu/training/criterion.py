@@ -15,8 +15,6 @@ torch's `nn.L1Loss` mean over the E real edges only.
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 

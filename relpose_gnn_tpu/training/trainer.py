@@ -31,7 +31,7 @@ import optax
 from flax import struct
 from flax.core import FrozenDict
 
-from relpose_gnn_tpu.models.posenet import RelPoseGNN, RelPoseGNNConfig
+from relpose_gnn_tpu.models.posenet import RelPoseGNN
 from relpose_gnn_tpu.ops import graph as graph_ops
 from relpose_gnn_tpu.training import criterion as crit
 

@@ -157,3 +157,54 @@ def test_torch_warm_start(pipeline_dirs, tmp_path):
         "poses": jnp.zeros((2, 4, 6)),
         "adj": jnp.ones((2, 4, 4), bool)})
     assert np.isfinite(np.asarray(out["pred"])).all()
+
+
+def test_learns_to_relocalize():
+    """Training on the learnable synthetic task must reduce the actual
+    relocalization error (not just the loss): after a few hundred steps the
+    median translation error on held-out graphs drops well below the
+    untrained model's."""
+    import jax
+    import jax.numpy as jnp
+    from relpose_gnn_tpu.data.synthetic import synthetic_batch
+    from relpose_gnn_tpu.evaluation.evaluator import compute_pose_errors
+    from relpose_gnn_tpu.models.posenet import RelPoseGNN, RelPoseGNNConfig
+    from relpose_gnn_tpu.training.trainer import (TrainerConfig,
+                                                  create_train_state,
+                                                  make_eval_step,
+                                                  make_train_step)
+
+    cfg = RelPoseGNNConfig(num_nodes=4, feat_dim=32, edge_dim=32,
+                           node_dim=32, knn=0, backbone="resnet18",
+                           droprate=0.0)
+    model = RelPoseGNN(cfg)
+    tcfg = TrainerConfig(lr=1e-3, steps_per_epoch=50, weight_decay=0.0)
+
+    rng = np.random.default_rng(0)
+    train_batches = [jax.tree.map(jnp.asarray, synthetic_batch(
+        rng, batch_size=8, num_nodes=4, height=32, width=40,
+        learnable=True)) for _ in range(4)]
+    test_batch = jax.tree.map(jnp.asarray, synthetic_batch(
+        rng, batch_size=16, num_nodes=4, height=32, width=40,
+        learnable=True))
+
+    state = create_train_state(jax.random.PRNGKey(0), model, tcfg,
+                               train_batches[0]["images"],
+                               train_batches[0]["adj"])
+    eval_step = make_eval_step()
+
+    def median_t(state):
+        out = eval_step(state, test_batch)
+        err = compute_pose_errors(np.asarray(out["pred"]),
+                                  np.asarray(out["target"]))
+        return err.median_t
+
+    before = median_t(state)
+    step = make_train_step(tcfg)
+    key = jax.random.PRNGKey(1)
+    for i in range(150):
+        state, m = step(state, train_batches[i % 4], key)
+    after = median_t(state)
+    # 150 CPU steps on the toy task: expect a clear (if partial) error
+    # reduction — the real 2x+ gains need the full 200-epoch schedule
+    assert after < before * 0.9, (before, after)
