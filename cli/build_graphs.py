@@ -68,9 +68,8 @@ def main(argv=None):
         # normalization stats go into the packed header and are applied on
         # device by the pipeline (data/packed.py design)
         if args.dataset == "7Scenes":
-            mean, std = np.zeros(3), np.ones(3)
-            if args.stats_path:
-                mean, std = load_scene_stats(args.stats_path, scene)
+            # bundled published per-scene stats by default
+            mean, std = load_scene_stats(args.stats_path or None, scene)
             query = SevenScenes(scene, args.data_path, train=train)
             database = (query if train else
                         SevenScenes(scene, args.data_path, train=True))

@@ -152,9 +152,20 @@ def leave_one_out_file_mask(file_indices: np.ndarray,
     return keep
 
 
-def load_scene_stats(stats_dir: str, scene: str) -> tuple[np.ndarray,
-                                                          np.ndarray]:
+BUNDLED_STATS_DIR = osp.join(osp.dirname(osp.abspath(__file__)), "stats",
+                             "7scenes")
+BUNDLED_CAMBRIDGE_POSE_STATS = osp.join(
+    osp.dirname(osp.abspath(__file__)), "stats", "Cambridge",
+    "Cambridge_pose_stats.txt")
+
+
+def load_scene_stats(stats_dir: str | None, scene: str
+                     ) -> tuple[np.ndarray, np.ndarray]:
     """Per-scene RGB stats file 'stats.txt' (mean row, var row) ->
-    (mean, std=sqrt(var)) as used at dataset_7Scenes_multi.py:290-298."""
+    (mean, std=sqrt(var)) as used at dataset_7Scenes_multi.py:290-298.
+
+    With stats_dir=None, uses the bundled published statistics (the
+    reference ships these constants under data/7scenes/<scene>/stats.txt)."""
+    stats_dir = stats_dir or BUNDLED_STATS_DIR
     stats = np.loadtxt(osp.join(stats_dir, scene, "stats.txt"))
     return stats[0].astype(np.float32), np.sqrt(stats[1]).astype(np.float32)
