@@ -63,6 +63,9 @@ class ExperimentConfig:
     dtype: str = "bfloat16"
     backbone: str = "resnet34"         # test hook / stretch configs
     feat_dim: int = 0                  # 0 = preset default (2048 for R3)
+    recover_nonfinite: bool = True     # roll back an epoch whose loss went
+    #                                    non-finite (elastic recovery; the
+    #                                    reference has none, SURVEY §5)
 
 
 def scene_lists(cfg: ExperimentConfig) -> tuple[list[str], list[str]]:
@@ -159,10 +162,21 @@ def run_training(cfg: ExperimentConfig) -> dict:
 
     best = {s: {"median_t": 1e6, "median_q": 1e6} for s in test_ds}
     for epoch in range(cfg.max_epoch):
+        if cfg.recover_nonfinite:
+            epoch_start = jax.tree.map(jnp.copy, (state.params,
+                                                  state.opt_state,
+                                                  state.batch_stats))
         it = data_iterator(train_ds, batch_size=cfg.batch_size,
                            seed=cfg.seed + epoch, epochs=1)
         for batch in device_prefetch(it, train_ds.mean, train_ds.std):
             state, m = train_step(state, batch, rng)
+        if cfg.recover_nonfinite and not np.isfinite(float(m["loss"])):
+            # elastic recovery: discard the divergent epoch's updates
+            logger.warning("[epoch %04d] non-finite loss %s — rolling the "
+                           "epoch back", epoch, float(m["loss"]))
+            p, o, b = epoch_start
+            state = state.replace(params=p, opt_state=o, batch_stats=b)
+            continue
         metrics_out.write(int(state.step), m, epoch=epoch)
         logger.info("[epoch %04d] loss=%.4f t=%.4f q=%.4f", epoch,
                     float(m["loss"]), float(m["t_loss"]),

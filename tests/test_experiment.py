@@ -100,3 +100,40 @@ class TestRunTrainingAndEval:
         # at the 1/255 level only
         assert abs(e1.median_t - e2.median_t) < 0.2
         assert np.isfinite(e2.median_q)
+
+
+class TestElasticRecovery:
+    def test_nonfinite_epoch_rolls_back(self, experiment_dirs, tmp_path,
+                                        monkeypatch):
+        """Poison one epoch's data -> the loop must restore the pre-epoch
+        state and keep training."""
+        root, raw, graphs = experiment_dirs
+        cfg = tiny_cfg(graphs, save_dir=str(tmp_path / "rec"), max_epoch=2)
+
+        from relpose_gnn_tpu.data import pipeline as pl
+        orig = pl.data_iterator
+        calls = {"n": 0}
+
+        def poisoned(dataset, batch_size, seed=0, **kw):
+            calls["n"] += 1
+            for batch in orig(dataset, batch_size, seed=seed, **kw):
+                if calls["n"] == 1:  # first epoch: NaN images
+                    batch = dict(batch)
+                    batch["images"] = np.full_like(
+                        batch["images"], 255 if
+                        batch["images"].dtype == np.uint8 else np.nan)
+                    if batch["images"].dtype != np.uint8:
+                        batch["images"][:] = np.nan
+                    else:
+                        # force NaNs post-normalization via poses instead
+                        batch["poses"] = np.full_like(batch["poses"],
+                                                      np.nan)
+                yield batch
+
+        monkeypatch.setattr(
+            "relpose_gnn_tpu.training.experiment.data_iterator", poisoned)
+        out = run_training(cfg)
+        # training survived the poisoned epoch; final params finite
+        import jax
+        leaves = jax.tree.leaves(out["state"].params["model"])
+        assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
