@@ -11,7 +11,6 @@ cli/build_graphs.py queries with an on-device top-k.
 
 import argparse
 import glob
-import os.path as osp
 import sys
 
 import numpy as np

@@ -21,7 +21,7 @@ the reference which materializes edge_attr per graph
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Sequence
+from typing import Callable
 
 import numpy as np
 

@@ -83,7 +83,6 @@ def color_jitter(rng: np.random.Generator, x: np.ndarray,
         f = rng.uniform(-hue, hue)
 
         def _hue(im, f=f):
-            import colorsys  # noqa: F401  (documentation of semantics)
             # cheap hue rotation in YIQ space (equivalent rotation of the
             # chroma plane by 2*pi*f)
             y = 0.299 * im[..., 0] + 0.587 * im[..., 1] + 0.114 * im[..., 2]
