@@ -84,6 +84,26 @@ class PoseNet(nn.Module):
         return jnp.concatenate([xyz, wpqr], axis=1)
 
 
+class PoseNetNoLog(nn.Module):
+    """PoseNet variant with a 4-D quaternion head instead of the 3-D logq
+    head (`PoseNet_nolog`, posenet.py:1258): predicts [t(3), q(4)]."""
+
+    feat_dim: int = 2048
+    droprate: float = 0.5
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, images: jax.Array, train: bool = False) -> jax.Array:
+        x = ResNet(stage_sizes=(3, 4, 6, 3), feat_dim=self.feat_dim,
+                   dtype=self.dtype, name="encoder")(images, train=train)
+        x = nn.relu(x)
+        if self.droprate > 0:
+            x = nn.Dropout(self.droprate)(x, deterministic=not train)
+        xyz = nn.Dense(3, name="fc_xyz")(x)
+        wpqr = nn.Dense(4, name="fc_wpqr")(x)
+        return jnp.concatenate([xyz, wpqr], axis=1)
+
+
 class MapNet(nn.Module):
     """PoseNet applied framewise to a sequence [B, T, H, W, 3] -> [B, T, 6]
     (posenet.py:79-105); pairs with `mapnet_criterion` (abs + VO terms)."""

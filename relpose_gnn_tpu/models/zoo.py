@@ -10,7 +10,8 @@ from __future__ import annotations
 
 from typing import Any
 
-from relpose_gnn_tpu.models.atloc import (AtLoc, AtLocPlus, MapNet, PoseNet)
+from relpose_gnn_tpu.models.atloc import (AtLoc, AtLocPlus, MapNet,
+                                           PoseNet, PoseNetNoLog)
 from relpose_gnn_tpu.models.posenet import RelPoseGNN, RelPoseGNNConfig
 
 
@@ -59,6 +60,8 @@ def build_model(name: str, num_nodes: int = 8, knn: int = 4,
         return RelPoseGNN(cfg)
     if name == "posenet":
         return PoseNet(droprate=droprate, dtype=dtype, **overrides)
+    if name in ("posenet-nolog", "posenet_nolog"):
+        return PoseNetNoLog(droprate=droprate, dtype=dtype, **overrides)
     if name == "mapnet":
         return MapNet(droprate=droprate, dtype=dtype, **overrides)
     if name == "atloc":
@@ -70,5 +73,5 @@ def build_model(name: str, num_nodes: int = 8, knn: int = 4,
     raise ValueError(f"unknown model {name!r}")
 
 
-MODEL_NAMES = ("R1", "light_knn", "R2", "R3", "R3-vit", "R3-32", "posenet",
+MODEL_NAMES = ("R1", "light_knn", "R2", "R3", "R3-vit", "R3-32", "posenet", "posenet-nolog",
                "mapnet", "atloc", "atloc-lstm", "atloc+")

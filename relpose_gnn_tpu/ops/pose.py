@@ -142,6 +142,14 @@ def calc_vo_relative_logq(p0: jax.Array, p1: jax.Array) -> jax.Array:
     return jnp.concatenate([vo[..., :3], qlog(vo[..., 3:])], axis=-1)
 
 
+def calc_vos(poses: jax.Array) -> jax.Array:
+    """Consecutive geometric VO on pose6 sequences: [..., T, 6] ->
+    [..., T-1, 6], each the relative pose of frame i+1 in frame i's frame,
+    log-mapped (vectorized `calc_vos` / `calc_vos_safe`,
+    pose_utils.py:262-304)."""
+    return calc_vo_logq(poses[..., :-1, :], poses[..., 1:, :])
+
+
 def calc_vos_fc(poses: jax.Array) -> jax.Array:
     """Fully-connected geometric VO on pose6 sequences.
 

@@ -57,3 +57,23 @@ class TestLeaveOneOutMask:
         idx = np.arange(10)
         np.testing.assert_array_equal(
             leave_one_out_file_mask(idx, ()), np.ones(10, bool))
+
+
+class TestMoreVariants:
+    def test_calc_vos_consecutive(self):
+        rng = np.random.default_rng(2)
+        p = (rng.normal(size=(2, 4, 6)) * 0.3).astype(np.float32)
+        out = np.asarray(pose.calc_vos(jnp.asarray(p)))
+        assert out.shape == (2, 3, 6)
+        want = np.asarray(pose.calc_vo_logq(jnp.asarray(p[:, :-1]),
+                                            jnp.asarray(p[:, 1:])))
+        np.testing.assert_allclose(out, want, atol=1e-6)
+
+    def test_posenet_nolog_head(self):
+        import jax
+        from relpose_gnn_tpu.models.zoo import build_model
+        m = build_model("posenet-nolog", feat_dim=32)
+        img = jnp.ones((2, 32, 40, 3))
+        v = m.init(jax.random.PRNGKey(0), img, train=False)
+        out = m.apply(v, img, train=False)
+        assert out.shape == (2, 7)  # t(3) + quat(4)
