@@ -5,8 +5,15 @@ override it *before* touching any jax device API.
 """
 
 import os
+import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # override the session's axon setting
+
+# make the suite runnable from any cwd (pytest /root/repo/tests ...)
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+for _p in (_REPO_ROOT, os.path.dirname(os.path.abspath(__file__))):
+    if _p not in sys.path:
+        sys.path.insert(0, _p)
 
 import jax  # noqa: E402
 
