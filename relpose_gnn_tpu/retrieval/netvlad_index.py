@@ -61,8 +61,10 @@ class NetVLADIndex:
 
     def __init__(self, variables=None, batch_size: int = 16,
                  dtype=jnp.bfloat16, rng: jax.Array | None = None,
-                 image_hw: tuple[int, int] = (192, 256)):
-        self.encoder = NetVLADEncoder(dtype=dtype)
+                 image_hw: tuple[int, int] = (192, 256),
+                 num_clusters: int = 64, encoder_dim: int = 512):
+        self.encoder = NetVLADEncoder(num_clusters=num_clusters,
+                                      encoder_dim=encoder_dim, dtype=dtype)
         self.batch_size = batch_size
         self.image_hw = image_hw
         if variables is None:

@@ -90,7 +90,13 @@ def make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
         optax.add_decayed_weights(cfg.weight_decay),
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
         optax.scale_by_learning_rate(schedule)]
-    return optax.chain(*parts)
+    tx = optax.chain(*parts)
+    if cfg.grad_accum > 1:
+        # gradient accumulation: k micro-batches per optimizer update
+        # (no analog in the reference; enables reference-scale effective
+        # batches on memory-tight configs)
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum)
+    return tx
 
 
 def create_train_state(rng: jax.Array, model: RelPoseGNN, cfg: TrainerConfig,

@@ -1,0 +1,118 @@
+"""CLI arg-parsing, profiling utils, NetVLAD index, preprocess_query."""
+
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+sys.path.insert(0, osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                            "cli"))
+
+
+class TestTrainCLI:
+    def test_exp_name_schemes(self):
+        import importlib
+        train_cli = importlib.import_module("train")
+        a = train_cli.parse_args(["--train-data-dir", "/d", "--test-data-dir",
+                                  "/d", "--dataset", "7Scenes",
+                                  "--experiment", "1", "--test-scene",
+                                  "chess"])
+        assert a.exp_name == "7Scenes_multi_wo_chess_w_test_chess_seed_0"
+        b = train_cli.parse_args(["--train-data-dir", "/d", "--test-data-dir",
+                                  "/d", "--experiment", "2",
+                                  "--train-scene", "fire", "--test-scene",
+                                  "fire", "--seed", "3"])
+        assert b.exp_name == "Cambridge_single_w_fire_w_test_fire_seed_3"
+
+    def test_defaults_match_reference(self):
+        import importlib
+        train_cli = importlib.import_module("train")
+        a = train_cli.parse_args(["--train-data-dir", "/d",
+                                  "--test-data-dir", "/d"])
+        assert a.srq == -2.0 and a.saq == -2.0        # train.py:367-368
+        assert a.knn == 4 and a.lr == 1e-4            # train.py:377-378
+        assert a.lr_decay_step == 50                  # train.py:379
+        assert a.max_epoch == 200 and a.droprate == 0.5
+
+    def test_build_graphs_sp_defaults(self):
+        import importlib
+        bg = importlib.import_module("build_graphs")
+        a = bg.parse_args(["chess", "train", "--data-path", "/d",
+                           "--graph-data-path", "/g"])
+        assert a.sampling_period is None  # resolved to 5/3 in main()
+
+
+class TestProfilingUtils:
+    def test_step_timer_window(self):
+        from relpose_gnn_tpu.utils.profiling import StepTimer
+        t = StepTimer(window=5)
+        t.start()
+        rates = []
+        for _ in range(10):
+            time.sleep(0.001)
+            r = t.step()
+            if r is not None:
+                rates.append(r)
+        assert len(rates) == 2
+        assert all(r > 0 for r in rates)
+
+    def test_trace_noop_and_real(self, tmp_path):
+        from relpose_gnn_tpu.utils.profiling import trace
+        with trace(None):
+            pass
+        with trace(str(tmp_path / "tr")):
+            _ = jnp.ones(4) + 1
+        # jax writes a plugins/profile dir
+        assert any((tmp_path / "tr").rglob("*")), "no trace artifacts"
+
+    def test_metrics_writer(self, tmp_path):
+        import json
+        from relpose_gnn_tpu.utils.logging import MetricsWriter
+        w = MetricsWriter(str(tmp_path / "m.jsonl"))
+        w.write(3, {"loss": jnp.asarray(1.5)}, epoch=0)
+        rec = json.loads(open(str(tmp_path / "m.jsonl")).read())
+        assert rec["step"] == 3 and rec["loss"] == 1.5
+
+
+class TestNetVLADIndexSmall:
+    def test_build_and_graph_neighbors(self):
+        from relpose_gnn_tpu.retrieval.netvlad_index import NetVLADIndex
+        idx = NetVLADIndex(batch_size=4, dtype=None, num_clusters=4,
+                           image_hw=(32, 32))
+        rng = np.random.default_rng(0)
+        db = rng.random((10, 32, 32, 3)).astype(np.float32)
+        idx.build(db)
+        assert idx.descriptors.shape == (10, 4 * 512)
+        q = idx.embed(db[3:4])
+        scores, top = idx.topk(q, k=3)
+        assert top[0, 0] == 3  # self is most similar
+        nbrs = idx.graph_neighbors(q[0], k=4, sampling_period=1,
+                                   rng=np.random.default_rng(1),
+                                   invalid=np.eye(10, dtype=bool)[3])
+        assert 3 not in nbrs.tolist()
+
+    def test_add_appends(self):
+        from relpose_gnn_tpu.retrieval.netvlad_index import NetVLADIndex
+        idx = NetVLADIndex(batch_size=4, dtype=None, num_clusters=4,
+                           image_hw=(32, 32))
+        rng = np.random.default_rng(2)
+        idx.build(rng.random((3, 32, 32, 3)).astype(np.float32))
+        idx.add(rng.random((2, 32, 32, 3)).astype(np.float32))
+        assert idx.descriptors.shape[0] == 5
+
+
+class TestPreprocessQuery:
+    def test_recenters_and_scales(self):
+        from relpose_gnn_tpu.ops import camera
+        import jax.numpy as jnp
+        Tcw = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
+        K = jnp.asarray([[100.0, 0, 32], [0, 100.0, 24], [0, 0, 1]])
+        out = camera.preprocess_query(Tcw, K, jnp.asarray([1.0, 2.0, 3.0]),
+                                      out_hw=(24, 32), in_hw=(48, 64))
+        # camera at origin, centered on scene_center -> tcw = +center
+        np.testing.assert_allclose(np.asarray(out["norm_Tcw"][:, 3]),
+                                   [1.0, 2.0, 3.0], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out["K_scaled"][0, 0]), 50.0)
+        np.testing.assert_allclose(np.asarray(out["K_scaled"][1, 2]), 12.0)

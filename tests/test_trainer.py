@@ -211,3 +211,21 @@ class TestFusedEval:
             want.append(np.mean(ests, axis=0))
         out = make_eval_step(fuse="mean")(state, batch)
         np.testing.assert_allclose(np.asarray(out["pred"]), want, atol=1e-5)
+
+
+class TestGradAccum:
+    def test_params_update_every_k_steps(self):
+        model = tiny_model(knn=0)
+        tcfg = TrainerConfig(lr=1e-3, steps_per_epoch=10, grad_accum=2,
+                             weight_decay=0.0)
+        batch = tiny_batch()
+        state = create_train_state(jax.random.PRNGKey(0), model, tcfg,
+                                   batch["images"], batch["adj"])
+        step = make_train_step(tcfg)
+        p0 = np.asarray(jax.tree.leaves(state.params["model"])[0]).copy()
+        state, _ = step(state, batch, jax.random.PRNGKey(1))
+        p1 = np.asarray(jax.tree.leaves(state.params["model"])[0])
+        np.testing.assert_array_equal(p0, p1)  # accumulating, no update yet
+        state, _ = step(state, batch, jax.random.PRNGKey(1))
+        p2 = np.asarray(jax.tree.leaves(state.params["model"])[0])
+        assert not np.array_equal(p1, p2)      # k-th micro-step applies
