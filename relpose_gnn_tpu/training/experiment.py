@@ -66,6 +66,8 @@ class ExperimentConfig:
     recover_nonfinite: bool = True     # roll back an epoch whose loss went
     #                                    non-finite (elastic recovery; the
     #                                    reference has none, SURVEY §5)
+    mesh_data: int = 0                 # >0: train over a (data, model) mesh
+    mesh_model: int = 1                # tensor-parallel axis size
 
 
 def scene_lists(cfg: ExperimentConfig) -> tuple[list[str], list[str]]:
@@ -155,6 +157,39 @@ def run_training(cfg: ExperimentConfig) -> dict:
         state = ckpt.load_torch_weights(state, cfg.weights_filename)
         logger.info("Loaded weights from %s", cfg.weights_filename)
 
+    # optional multi-chip training: batch sharded over `data`, GNN MLP
+    # weights tensor-parallel over `model` (parallel/sharding.py); XLA
+    # inserts the gradient all-reduces over ICI
+    batch_shardings = None
+    if cfg.mesh_data > 0:
+        from relpose_gnn_tpu.parallel.mesh import create_mesh
+        from relpose_gnn_tpu.parallel.sharding import (batch_sharding,
+                                                       param_sharding,
+                                                       replicate)
+        mesh = create_mesh(n_data=cfg.mesh_data, n_model=cfg.mesh_model)
+        assert cfg.batch_size % cfg.mesh_data == 0, (
+            "batch_size must divide the data axis")
+        p_shard = param_sharding(mesh, state.params["model"],
+                                 tensor_parallel=cfg.mesh_model > 1)
+        params = dict(state.params)
+        params["model"] = jax.tree.map(jax.device_put,
+                                       state.params["model"], p_shard)
+        rep = replicate(mesh)
+        state = state.replace(
+            params={k: (params[k] if k == "model"
+                        else jax.device_put(params[k], rep))
+                    for k in params},
+            batch_stats=jax.device_put(state.batch_stats, rep),
+            opt_state=jax.tree.map(lambda x: jax.device_put(x, rep),
+                                   state.opt_state),
+            step=jax.device_put(state.step, rep))
+        batch_shardings = {
+            "images": batch_sharding(mesh, 5),
+            "poses": batch_sharding(mesh, 3),
+            "adj": batch_sharding(mesh, 3)}
+        logger.info("mesh training: %s",
+                    dict(zip(mesh.axis_names, mesh.devices.shape)))
+
     train_step = make_train_step(tcfg)
     eval_step = make_eval_step(ref_node=0)
     mean_t, std_t = pose_stats(cfg)
@@ -168,7 +203,8 @@ def run_training(cfg: ExperimentConfig) -> dict:
                                                   state.batch_stats))
         it = data_iterator(train_ds, batch_size=cfg.batch_size,
                            seed=cfg.seed + epoch, epochs=1)
-        for batch in device_prefetch(it, train_ds.mean, train_ds.std):
+        for batch in device_prefetch(it, train_ds.mean, train_ds.std,
+                                     sharding=batch_shardings):
             state, m = train_step(state, batch, rng)
         if cfg.recover_nonfinite and not np.isfinite(float(m["loss"])):
             # elastic recovery: discard the divergent epoch's updates

@@ -137,3 +137,16 @@ class TestElasticRecovery:
         import jax
         leaves = jax.tree.leaves(out["state"].params["model"])
         assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+
+
+class TestMeshTraining:
+    def test_run_training_on_8_device_mesh(self, experiment_dirs, tmp_path):
+        """Full run_training with dp=4 x tp=2 sharding on the virtual CPU
+        mesh (first-class multi-chip training, not just the dryrun)."""
+        root, raw, graphs = experiment_dirs
+        cfg = tiny_cfg(graphs, save_dir=str(tmp_path / "mesh"),
+                       batch_size=4, mesh_data=4, mesh_model=2)
+        out = run_training(cfg)
+        import jax
+        leaves = jax.tree.leaves(out["state"].params["model"])
+        assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
