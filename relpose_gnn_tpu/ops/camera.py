@@ -166,6 +166,41 @@ def rel_rot_angle(T1: jax.Array, T2: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Host-side PnP pose solving (reloc_pipeline/util_func.py:255-296)
+# ---------------------------------------------------------------------------
+
+def solve_pnp_ransac(x_2d: np.ndarray, X_3d: np.ndarray, K: np.ndarray,
+                     reproj_threshold: float = 1.0,
+                     iterations: int = 100):
+    """RANSAC PnP camera pose from 2D-3D correspondences.
+
+    Host-side wrapper around cv2.solvePnPRansac, the used half of
+    `compute_pose_pnp_from_valid_pixels` (util_func.py:255-296; the LM-PnP
+    C++ variant there is dead code — its import is commented out,
+    util_func.py:29-31).  Returns (R [3,3], t [3], inlier_mask [P]) of the
+    world->camera pose, or None on failure.
+    """
+    try:
+        import cv2
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("OpenCV required for PnP") from e
+
+    x_2d = np.ascontiguousarray(x_2d, np.float64).reshape(-1, 1, 2)
+    X_3d = np.ascontiguousarray(X_3d, np.float64).reshape(-1, 1, 3)
+    ok, rvec, tvec, inliers = cv2.solvePnPRansac(
+        X_3d, x_2d, np.asarray(K, np.float64), None,
+        reprojectionError=reproj_threshold, iterationsCount=iterations,
+        flags=cv2.SOLVEPNP_EPNP)
+    if not ok:
+        return None
+    R, _ = cv2.Rodrigues(rvec)
+    mask = np.zeros(len(x_2d), bool)
+    if inliers is not None:
+        mask[inliers.ravel()] = True
+    return R, tvec.ravel(), mask
+
+
+# ---------------------------------------------------------------------------
 # Host-side intrinsics-aware cropping (img_proc/img_dim.py:66-90)
 # ---------------------------------------------------------------------------
 

@@ -157,3 +157,22 @@ class TestSequences:
         K = sequences.K_from_frame(f)
         np.testing.assert_allclose(
             K, [[585, 0, 320], [0, 585, 240], [0, 0, 1]])
+
+
+class TestPnP:
+    def test_recovers_known_pose(self):
+        rng = np.random.default_rng(7)
+        R_true = Rotation.from_euler("xyz", [0.2, -0.1, 0.3]).as_matrix()
+        t_true = np.array([0.5, -0.2, 2.0])
+        K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+        X_world = rng.uniform(-1, 1, size=(60, 3)) + [0, 0, 4]
+        X_cam = X_world @ R_true.T + t_true
+        x = X_cam[:, 0] / X_cam[:, 2] * 500 + 320
+        y = X_cam[:, 1] / X_cam[:, 2] * 500 + 240
+        x_2d = np.stack([x, y], axis=1)
+        out = camera.solve_pnp_ransac(x_2d, X_world, K)
+        assert out is not None
+        R, t, mask = out
+        np.testing.assert_allclose(R, R_true, atol=1e-3)
+        np.testing.assert_allclose(t, t_true, atol=1e-2)
+        assert mask.mean() > 0.9
