@@ -302,3 +302,24 @@ class TestSevenScenesDepthModes:
                          mode=2)
         (c, d), pose, rel = ds[0]
         assert c.shape[2] == 3 and d.ndim == 2
+
+
+class TestPipelineDeterminism:
+    def test_same_seed_same_batches(self, tmp_path):
+        root = str(tmp_path / "det")
+        w = PackedGraphWriter(root, num_graphs=6, num_nodes=2, height=4,
+                              width=4, mean=[0] * 3, std=[1] * 3)
+        rng = np.random.default_rng(0)
+        for i in range(6):
+            w.add(rng.random((2, 4, 4, 3)).astype(np.float32),
+                  np.full((2, 6), i, np.float32), np.ones((2, 2), bool))
+        w.finalize()
+        ds = PackedGraphDataset(root)
+        a = [b["poses"][:, 0, 0].tolist()
+             for b in data_iterator(ds, 2, seed=5, epochs=1)]
+        b = [b["poses"][:, 0, 0].tolist()
+             for b in data_iterator(ds, 2, seed=5, epochs=1)]
+        c = [b["poses"][:, 0, 0].tolist()
+             for b in data_iterator(ds, 2, seed=6, epochs=1)]
+        assert a == b
+        assert a != c
