@@ -1,0 +1,164 @@
+"""End-to-end on-device relocalization service.
+
+The BASELINE.json north star realized: "NetVLAD retrieval plus strided
+neighbor subsampling become an on-device batched descriptor top-k that
+assembles fixed-size fully-connected image graphs".  The reference splits
+this across an offline CUDA/sklearn preprocessing pipeline and a separate
+eval script (SURVEY.md §3.2-3.3); here one jitted program serves a query
+batch end to end:
+
+    query image  -> NetVLAD descriptor                (on device)
+                 -> cosine similarities vs the DB      (one matmul)
+                 -> stochastic strided neighbor subsample
+                    (rank -> 50% drop -> strided -> top-K,
+                     retrieval/subsample.py, jittable)
+                 -> gather cached neighbor node embeddings + poses
+                 -> dense edge-GNN relative-pose regression
+                 -> absolute pose from the nearest-neighbor anchor
+
+State held on device: NetVLAD descriptors [M, 32768], backbone node
+embeddings [M, D], pose6 [M, 6] for every database frame (built once).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from relpose_gnn_tpu.models.netvlad import NetVLADEncoder
+from relpose_gnn_tpu.models.posenet import RelPoseGNN
+from relpose_gnn_tpu.ops import graph as graph_ops
+from relpose_gnn_tpu.retrieval.netvlad_index import (IMAGENET_MEAN,
+                                                     IMAGENET_STD)
+from relpose_gnn_tpu.retrieval.subsample import subsample_neighbors
+
+
+@dataclasses.dataclass
+class ServiceConfig:
+    seq_len: int = 8                 # graph size (query + seq_len-1 nbrs)
+    sampling_period: int = 5         # neighbor stride (train.py:112)
+    retrieval_hw: tuple = (192, 256)  # NetVLAD input size (E2 geometry)
+    deterministic: bool = False      # skip the stochastic 50% drop + offset
+    #                                  (pure top-k strided retrieval)
+
+
+class RelocalizationService:
+    """Device-resident database + one jitted query path."""
+
+    def __init__(self, model: RelPoseGNN, model_vars,
+                 netvlad: NetVLADEncoder, netvlad_vars,
+                 cfg: ServiceConfig = ServiceConfig()):
+        self.model = model
+        self.model_vars = model_vars
+        self.netvlad = netvlad
+        self.netvlad_vars = netvlad_vars
+        self.cfg = cfg
+        self.db_desc = None   # [M, 32768]
+        self.db_emb = None    # [M, D]
+        self.db_poses = None  # [M, 6]
+        self._query_fn = self._make_query_fn()
+
+    # -- database construction (once) ---------------------------------
+
+    def _netvlad_input(self, images01: jax.Array) -> jax.Array:
+        """raw [B, H, W, 3] in [0,1] -> NetVLAD input (resize + ImageNet
+        normalize).  On-device bilinear resize; the offline builder uses
+        the PIL path (retrieval robustness tolerates the filter change)."""
+        b = images01.shape[0]
+        h, w = self.cfg.retrieval_hw
+        x = jax.image.resize(images01, (b, h, w, 3), method="bilinear")
+        return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+
+    def build(self, db_images01: np.ndarray, db_poses: np.ndarray,
+              model_norm, batch: int = 16) -> None:
+        """Embed every database frame: NetVLAD descriptor + backbone node
+        embedding.  `model_norm(images01) -> model input` applies the
+        scene normalization used at graph-build time."""
+
+        @jax.jit
+        def embed(chunk):
+            desc = self.netvlad.apply(self.netvlad_vars,
+                                      self._netvlad_input(chunk))
+            emb = self.model.apply(self.model_vars,
+                                   model_norm(chunk)[:, None], train=False,
+                                   method=RelPoseGNN.encode_nodes)[:, 0]
+            return desc, emb
+
+        descs, embs = [], []
+        for i in range(0, len(db_images01), batch):
+            d, e = embed(jnp.asarray(db_images01[i:i + batch]))
+            descs.append(d)
+            embs.append(e)
+        self.db_desc = jnp.concatenate(descs)
+        self.db_emb = jnp.concatenate(embs)
+        self.db_poses = jnp.asarray(db_poses, jnp.float32)
+
+    # -- the jitted query path -----------------------------------------
+
+    def _make_query_fn(self):
+        cfg = self.cfg
+        k = cfg.seq_len - 1
+
+        @partial(jax.jit, static_argnames=())
+        def query_fn(model_vars, netvlad_vars, db_desc, db_emb, db_poses,
+                     query01, query_model_in, rng):
+            b = query01.shape[0]
+            # 1. retrieval descriptor + similarities (one matmul)
+            q_desc = self.netvlad.apply(netvlad_vars,
+                                        self._netvlad_input(query01))
+            sim = q_desc @ db_desc.T                      # [B, M]
+
+            # 2. neighbor selection
+            m = db_desc.shape[0]
+            invalid = jnp.zeros((m,), bool)
+            if cfg.deterministic:
+                # plain strided top-k: every sampling_period-th of the
+                # ranked list
+                order = jnp.argsort(-sim, axis=1)
+                nbrs = order[:, ::cfg.sampling_period][:, :k]  # [B, K]
+            else:
+                rngs = jax.random.split(rng, b)
+                nbrs = jax.vmap(
+                    lambda r, s: subsample_neighbors(
+                        r, s, invalid, k, cfg.sampling_period))(rngs, sim)
+
+            # 3. graph assembly from cached embeddings
+            q_emb = self.model.apply(model_vars, query_model_in[:, None],
+                                     train=False,
+                                     method=RelPoseGNN.encode_nodes)
+            nbr_emb = db_emb[nbrs]                        # [B, K, D]
+            x = jnp.concatenate([q_emb, nbr_emb.astype(q_emb.dtype)],
+                                axis=1)
+            adj = jnp.broadcast_to(
+                jnp.asarray(~np.eye(cfg.seq_len, dtype=bool)),
+                (b, cfg.seq_len, cfg.seq_len))
+
+            # 4. GNN + absolute-pose recovery (test.py:227-233 math)
+            _, pred_rel, _, aux = self.model.apply(
+                model_vars, x, adj, train=False,
+                method=RelPoseGNN.from_embeddings)
+            anchor_node = graph_ops.nearest_neighbor(aux["node_feats"],
+                                                     node=0)
+            rp = pred_rel[jnp.arange(b), anchor_node, 0]
+            anchor_pose = db_poses[nbrs[jnp.arange(b), anchor_node - 1]]
+            return {"pose": anchor_pose - rp, "neighbors": nbrs,
+                    "anchor": anchor_node}
+
+        return query_fn
+
+    def query(self, query_images01: np.ndarray, model_norm,
+              rng: jax.Array | None = None) -> dict:
+        """Relocalize a batch of raw [B, H, W, 3] images in [0, 1].
+
+        Returns {'pose' [B, 6] pose6, 'neighbors' [B, K], 'anchor' [B]}.
+        """
+        assert self.db_desc is not None, "call build() first"
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        q = jnp.asarray(query_images01)
+        return self._query_fn(self.model_vars, self.netvlad_vars,
+                              self.db_desc, self.db_emb, self.db_poses,
+                              q, model_norm(q), rng)
