@@ -1,0 +1,80 @@
+"""Benchmark the end-to-end on-device relocalization service (retrieval +
+graph assembly + GNN + pose recovery per query) on the attached TPU.
+
+Unlike bench.py (which mirrors the reference's eval protocol over prebuilt
+graphs), this measures the full serving pipeline including NetVLAD
+retrieval per query — a capability the reference only runs offline.
+"""
+
+import os.path as _osp
+import sys as _sys
+
+_sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from relpose_gnn_tpu.evaluation.service import (RelocalizationService,
+                                                ServiceConfig)
+from relpose_gnn_tpu.models.netvlad import NetVLADEncoder
+from relpose_gnn_tpu.models.posenet import RelPoseGNN, RelPoseGNNConfig
+
+
+def model_norm(x):
+    return (x - 0.45) / 0.2
+
+
+def main():
+    z = jnp.zeros(())
+    float(z + 1.0)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        float(z + 1.0)
+    rtt = (time.perf_counter() - t0) / 10
+    print(f"rtt: {rtt * 1e3:.1f} ms", flush=True)
+
+    mcfg = RelPoseGNNConfig.preset("R3", dtype=jnp.bfloat16)
+    model = RelPoseGNN(mcfg)
+    h, w = 256, 341
+    model_vars = model.init(jax.random.PRNGKey(0),
+                            jnp.ones((1, 8, h, w, 3)),
+                            jnp.ones((1, 8, 8), bool), train=False)
+    netvlad = NetVLADEncoder(dtype=jnp.bfloat16)
+    nv_vars = netvlad.init(jax.random.PRNGKey(1), jnp.ones((1, 192, 256, 3)))
+
+    svc = RelocalizationService(model, model_vars, netvlad, nv_vars,
+                                ServiceConfig())
+
+    m = 128  # database frames (kept small: tunnel uploads are slow)
+    rng = np.random.default_rng(0)
+    print("building database...", flush=True)
+    svc.build(rng.random((m, h, w, 3)).astype(np.float32),
+              rng.normal(size=(m, 6)).astype(np.float32), model_norm,
+              batch=32)
+
+    batch = 32
+    key = jax.random.PRNGKey(7)
+    base = jax.random.uniform(key, (batch, h, w, 3), jnp.float32)
+    pool = [base * (0.9 + 0.05 * i) for i in range(3)]
+    print("compiling query path...", flush=True)
+    out = svc.query(pool[0], model_norm)
+    float(jnp.sum(out["pose"]))
+
+    iters = 10
+    t0 = time.perf_counter()
+    acc = jnp.zeros(())
+    for i in range(iters):
+        acc = acc + jnp.sum(svc.query(pool[i % 3], model_norm,
+                                      jax.random.PRNGKey(i))["pose"])
+    float(acc)
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9)
+    qps = batch * iters / dt
+    print(f"service (retrieval+graph+GNN+pose): {qps:.0f} queries/s "
+          f"({dt / iters * 1e3 / batch:.3f} ms/query)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
