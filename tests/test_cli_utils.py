@@ -116,3 +116,18 @@ class TestPreprocessQuery:
                                    [1.0, 2.0, 3.0], atol=1e-5)
         np.testing.assert_allclose(np.asarray(out["K_scaled"][0, 0]), 50.0)
         np.testing.assert_allclose(np.asarray(out["K_scaled"][1, 2]), 12.0)
+
+
+class TestSeeding:
+    def test_seed_everything_reproducible(self):
+        import random
+        from relpose_gnn_tpu.utils.seeding import seed_everything, worker_rngs
+        k1 = seed_everything(7)
+        a = (random.random(), np.random.random())
+        k2 = seed_everything(7)
+        b = (random.random(), np.random.random())
+        assert a == b
+        assert np.array_equal(np.asarray(k1), np.asarray(k2))
+        rngs = worker_rngs(3, 4)
+        vals = [r.random() for r in rngs]
+        assert len(set(vals)) == 4  # independent streams
