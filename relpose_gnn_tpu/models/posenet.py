@@ -61,6 +61,8 @@ class RelPoseGNNConfig:
     remat: bool = False         # jax.checkpoint the backbone (activation
     #                             rematerialization: trades FLOPs for HBM,
     #                             enables larger train batches)
+    bn_folded: bool = False     # serving form: BN folded into conv weights
+    #                             (models/fold_bn.py; eval only)
 
     @classmethod
     def preset(cls, name: str, **overrides) -> "RelPoseGNNConfig":
@@ -90,10 +92,12 @@ class RelPoseGNN(nn.Module):
                       else ResNet)
         if c.backbone == "resnet34":
             self.encoder = resnet_cls(stage_sizes=(3, 4, 6, 3),
-                                      feat_dim=c.feat_dim, dtype=c.dtype)
+                                      feat_dim=c.feat_dim, dtype=c.dtype,
+                                      folded=c.bn_folded)
         elif c.backbone == "resnet18":
             self.encoder = resnet_cls(stage_sizes=(2, 2, 2, 2),
-                                      feat_dim=c.feat_dim, dtype=c.dtype)
+                                      feat_dim=c.feat_dim, dtype=c.dtype,
+                                      folded=c.bn_folded)
         elif c.backbone == "vit":
             from relpose_gnn_tpu.models.vit import ViTEncoder
             vit_cls = (nn.remat(ViTEncoder, static_argnums=(2,))

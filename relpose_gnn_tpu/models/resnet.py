@@ -24,30 +24,38 @@ import jax.numpy as jnp
 
 
 class BasicBlock(nn.Module):
-    """torchvision BasicBlock: 3x3-BN-ReLU-3x3-BN + projection shortcut."""
+    """torchvision BasicBlock: 3x3-BN-ReLU-3x3-BN + projection shortcut.
+
+    With `folded=True` the BN layers are gone and the convs carry a bias —
+    the inference-time form produced by `fold_batchnorm` below."""
 
     filters: int
     stride: int = 1
     dtype: Any = None
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        norm = lambda name: nn.BatchNorm(  # noqa: E731
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name=name)
+        if self.folded:
+            norm = lambda name: (lambda y: y)  # noqa: E731
+        else:
+            norm = lambda name: nn.BatchNorm(  # noqa: E731
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name=name)
+        bias = self.folded
         residual = x
         y = nn.Conv(self.filters, (3, 3), strides=(self.stride, self.stride),
-                    padding=1, use_bias=False, dtype=self.dtype,
+                    padding=1, use_bias=bias, dtype=self.dtype,
                     name="conv1")(x)
         y = norm("bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.filters, (3, 3), padding=1, use_bias=False,
+        y = nn.Conv(self.filters, (3, 3), padding=1, use_bias=bias,
                     dtype=self.dtype, name="conv2")(y)
         y = norm("bn2")(y)
         if residual.shape[-1] != self.filters or self.stride != 1:
             residual = nn.Conv(self.filters, (1, 1),
                                strides=(self.stride, self.stride),
-                               use_bias=False, dtype=self.dtype,
+                               use_bias=bias, dtype=self.dtype,
                                name="downsample_conv")(residual)
             residual = norm("downsample_bn")(residual)
         return nn.relu(y + residual)
@@ -59,15 +67,18 @@ class ResNet(nn.Module):
     stage_sizes: Sequence[int]
     feat_dim: int = 2048
     dtype: Any = None
+    folded: bool = False  # BN folded into conv weights (inference form)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         """x: [B, H, W, 3] NHWC -> [B, feat_dim]."""
         x = x.astype(self.dtype or x.dtype)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                    dtype=self.dtype, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3,
+                    use_bias=self.folded, dtype=self.dtype,
+                    name="conv1")(x)
+        if not self.folded:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -76,6 +87,7 @@ class ResNet(nn.Module):
             for block in range(num_blocks):
                 stride = 2 if stage > 0 and block == 0 else 1
                 x = BasicBlock(filters, stride=stride, dtype=self.dtype,
+                               folded=self.folded,
                                name=f"layer{stage + 1}_{block}")(x, train)
 
         # AdaptiveAvgPool2d(1) + Linear(512 -> feat_dim)
