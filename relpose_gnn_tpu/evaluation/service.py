@@ -51,7 +51,15 @@ class RelocalizationService:
 
     def __init__(self, model: RelPoseGNN, model_vars,
                  netvlad: NetVLADEncoder, netvlad_vars,
-                 cfg: ServiceConfig = ServiceConfig()):
+                 cfg: ServiceConfig = ServiceConfig(),
+                 fold_bn: bool = True):
+        if fold_bn and model.cfg.backbone.startswith("resnet") \
+                and not model.cfg.bn_folded:
+            # serving form: BN folded into conv weights (~2.5x measured,
+            # models/fold_bn.py); numerically equivalent at f32
+            from relpose_gnn_tpu.models.fold_bn import fold_relpose_backbone
+            fcfg, model_vars = fold_relpose_backbone(model.cfg, model_vars)
+            model = RelPoseGNN(fcfg)
         self.model = model
         self.model_vars = model_vars
         self.netvlad = netvlad
