@@ -55,7 +55,7 @@ def main():
               rng.normal(size=(m, 6)).astype(np.float32), model_norm,
               batch=32)
 
-    batch = 32
+    batch = 128
     key = jax.random.PRNGKey(7)
     base = jax.random.uniform(key, (batch, h, w, 3), jnp.float32)
     pool = [base * (0.9 + 0.05 * i) for i in range(3)]
