@@ -131,3 +131,35 @@ class TestSeeding:
         rngs = worker_rngs(3, 4)
         vals = [r.random() for r in rngs]
         assert len(set(vals)) == 4  # independent streams
+
+
+class TestPoseStatsCLI:
+    def test_compute_pose_stats(self, tmp_path):
+        from test_data import write_cambridge_fixture
+        import importlib
+        write_cambridge_fixture(str(tmp_path), scene="ShopFacade", n=6)
+        out = str(tmp_path / "stats.txt")
+        cps = importlib.import_module("compute_pose_stats")
+        cps.main(["--data-path", str(tmp_path), "--output", out,
+                  "--scenes", "ShopFacade"])
+        stats = np.loadtxt(out)
+        assert stats.shape == (2, 3)
+        assert (stats[1] > 0).all()  # std positive
+
+
+class TestEvaluateDataset:
+    def test_reduces_over_batches(self):
+        from relpose_gnn_tpu.evaluation.evaluator import evaluate_dataset
+        rng = np.random.default_rng(0)
+
+        def fake_eval_step(state, batch):
+            return {"pred": batch["poses"][:, 0] + 0.1,
+                    "target": batch["poses"][:, 0]}
+
+        batches = [{"poses": rng.normal(size=(4, 2, 6)).astype(np.float32)}
+                   for _ in range(3)]
+        err = evaluate_dataset(fake_eval_step, None, batches)
+        # constant +0.1 offset on t -> L2 error = 0.1 * sqrt(3)
+        np.testing.assert_allclose(err.median_t, 0.1 * np.sqrt(3),
+                                   atol=1e-5)
+        assert len(err.t_errors) == 12
