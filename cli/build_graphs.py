@@ -37,6 +37,12 @@ def parse_args(argv):
                    choices=("IR", "RAND"))
     p.add_argument("--cross-connect", action="store_true")
     p.add_argument("--netvlad-checkpoint", type=str, default="")
+    p.add_argument("--retrieval", type=str, default="auto",
+                   choices=("auto", "netvlad", "vlad"),
+                   help="descriptor engine: auto = NetVLAD for 7-Scenes, "
+                        "classical ORB-VLAD for Cambridge (reference "
+                        "behavior); 'netvlad' unifies both datasets on the "
+                        "NetVLAD path (SURVEY.md §7 parity knob)")
     p.add_argument("--vlad-index", type=str, default="")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
@@ -107,12 +113,19 @@ def main(argv=None):
     print(f"total graphs: {total}")
 
 
+def use_netvlad_for(retrieval: str, dataset: str) -> bool:
+    """Descriptor-engine selection: reference behavior is NetVLAD for
+    7-Scenes and classical ORB-VLAD for Cambridge; 'netvlad' overrides."""
+    return retrieval == "netvlad" or (retrieval == "auto"
+                                      and dataset == "7Scenes")
+
+
 def _retrieval_fns(args, scene, query_ds, database_ds):
     """Build similarity/invalid callbacks for IR mode."""
     n_db = len(database_ds)
     db_is_q = args.mode == "train"
 
-    if args.dataset == "7Scenes":
+    if use_netvlad_for(args.retrieval, args.dataset):
         from PIL import Image
 
         from relpose_gnn_tpu.retrieval.netvlad_index import (

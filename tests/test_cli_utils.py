@@ -163,3 +163,17 @@ class TestEvaluateDataset:
         np.testing.assert_allclose(err.median_t, 0.1 * np.sqrt(3),
                                    atol=1e-5)
         assert len(err.t_errors) == 12
+
+
+class TestRetrievalKnob:
+    def test_engine_selection(self):
+        import importlib
+        bg = importlib.import_module("build_graphs")
+        assert bg.use_netvlad_for("auto", "7Scenes")
+        assert not bg.use_netvlad_for("auto", "Cambridge")
+        assert bg.use_netvlad_for("netvlad", "Cambridge")
+        assert not bg.use_netvlad_for("vlad", "7Scenes")
+        a = bg.parse_args(["chess", "train", "--data-path", "/d",
+                           "--graph-data-path", "/g",
+                           "--retrieval", "netvlad"])
+        assert a.retrieval == "netvlad"
