@@ -43,3 +43,45 @@ def synthetic_batches(seed: int, n_batches: int, **kwargs):
     rng = np.random.default_rng(seed)
     for _ in range(n_batches):
         yield synthetic_batch(rng, **kwargs)
+
+
+def make_device_batch_fn(batch_size: int, num_nodes: int, height: int,
+                         width: int, learnable: bool = True):
+    """Jitted on-device generator of the learnable synthetic task.
+
+    Avoids host->device uploads entirely (the dev tunnel moves ~GB/min):
+    every call with a fresh key yields a brand-new batch, so training
+    scripts can test *generalization* rather than memorization.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from relpose_gnn_tpu.ops import graph as graph_ops
+
+    adj = jnp.asarray(np.broadcast_to(
+        graph_ops.fc_adjacency(num_nodes),
+        (batch_size, num_nodes, num_nodes)).copy())
+    ph = max(4, height // 8)
+    pw = max(4, width // 8)
+
+    @jax.jit
+    def gen(key):
+        k1, k2 = jax.random.split(key)
+        images = jax.random.normal(
+            k1, (batch_size, num_nodes, height, width, 3), jnp.float32)
+        poses = jax.random.normal(k2, (batch_size, num_nodes, 6),
+                                  jnp.float32)
+        poses = poses.at[..., 3:].multiply(0.3)
+        if learnable:
+            for c in range(3):
+                b1 = jnp.broadcast_to(
+                    poses[..., c * 2][..., None, None],
+                    (batch_size, num_nodes, ph, pw))
+                b2 = jnp.broadcast_to(
+                    poses[..., c * 2 + 1][..., None, None],
+                    (batch_size, num_nodes, ph, pw))
+                images = images.at[:, :, :ph, :pw, c].set(b1)
+                images = images.at[:, :, :ph, pw:2 * pw, c].set(b2)
+        return {"images": images, "poses": poses, "adj": adj}
+
+    return gen
