@@ -323,3 +323,25 @@ class TestPipelineDeterminism:
              for b in data_iterator(ds, 2, seed=6, epochs=1)]
         assert a == b
         assert a != c
+
+
+class TestDeviceSyntheticGenerator:
+    def test_matches_contract_and_learnability_structure(self):
+        import jax
+        from relpose_gnn_tpu.data.synthetic import make_device_batch_fn
+        gen = make_device_batch_fn(2, 4, 32, 40, learnable=True)
+        b = gen(jax.random.PRNGKey(0))
+        assert b["images"].shape == (2, 4, 32, 40, 3)
+        assert b["poses"].shape == (2, 4, 6)
+        assert b["adj"].shape == (2, 4, 4)
+        img = np.asarray(b["images"])
+        poses = np.asarray(b["poses"])
+        ph, pw = 4, 5
+        # pose channels painted into the top-left patches
+        np.testing.assert_allclose(img[0, 1, :ph, :pw, 0],
+                                   poses[0, 1, 0], atol=1e-6)
+        np.testing.assert_allclose(img[1, 2, :ph, pw:2 * pw, 2],
+                                   poses[1, 2, 5], atol=1e-6)
+        # distinct keys -> distinct data
+        b2 = gen(jax.random.PRNGKey(1))
+        assert not np.allclose(np.asarray(b2["poses"]), poses)

@@ -64,3 +64,36 @@ class TestDryrunMultichip:
         # abstract compile only — full ResNet34 eval on CPU is too slow
         jitted = jax.jit(fn)
         jitted.lower(*args).compile()
+
+
+class TestShardedServing:
+    def test_cached_eval_step_under_mesh(self):
+        """The serving step runs with batch sharded over the data axis
+        (replicated params): multi-chip serving works out of the box."""
+        import jax.numpy as jnp
+        from relpose_gnn_tpu.evaluation import serving
+        from relpose_gnn_tpu.models.posenet import (RelPoseGNN,
+                                                    RelPoseGNNConfig)
+        from relpose_gnn_tpu.parallel.sharding import (batch_sharding,
+                                                       replicate)
+
+        mesh = create_mesh(n_data=8, n_model=1)
+        cfg = RelPoseGNNConfig(num_nodes=4, feat_dim=32, edge_dim=32,
+                               node_dim=32, knn=2, backbone="resnet18",
+                               droprate=0.0)
+        model = RelPoseGNN(cfg)
+        v = model.init(jax.random.PRNGKey(0), jnp.ones((1, 4, 16, 16, 3)),
+                       jnp.ones((1, 4, 4), bool), train=False)
+        v = jax.device_put(v, replicate(mesh))
+
+        b = 16
+        q = jax.device_put(jnp.ones((b, 16, 16, 3)),
+                           batch_sharding(mesh, 4))
+        emb = jax.device_put(jnp.ones((b, 3, 32)), batch_sharding(mesh, 3))
+        poses = jax.device_put(jnp.zeros((b, 3, 6)), batch_sharding(mesh, 3))
+        adj = jax.device_put(jnp.ones((b, 4, 4), bool),
+                             batch_sharding(mesh, 3))
+        step = serving.make_cached_eval_step(model)
+        out = step(v, q, emb, poses, adj)
+        assert out["pred"].shape == (b, 6)
+        assert np.isfinite(np.asarray(out["pred"])).all()
