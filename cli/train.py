@@ -41,6 +41,14 @@ def parse_args(argv):
     p.add_argument("--lr-decay-step", default=50, type=int)
     p.add_argument("--dtype", default="bfloat16",
                    choices=("bfloat16", "float32"))
+    p.add_argument("--backbone", default="resnet34",
+                   choices=("resnet34", "resnet18", "vit"),
+                   help="node encoder (resnet34 = reference; vit = stretch)")
+    p.add_argument("--feat-dim", type=int, default=0,
+                   help="override feat/edge/node dims (0 = preset default)")
+    p.add_argument("--mesh-data", type=int, default=0,
+                   help=">0: shard training over a (data, model) mesh")
+    p.add_argument("--mesh-model", type=int, default=1)
     args = p.parse_args(argv)
     if args.exp_name is None:  # naming scheme of train.py:384-390
         if args.experiment == 2:
@@ -70,7 +78,9 @@ def main(argv=None):
         gnn_recursion=args.gnn_recursion, lr=args.lr,
         lr_decay_step=args.lr_decay_step, srq=args.srq, saq=args.saq,
         lambda_ap=args.lambda_ap, weights_filename=args.weights_filename,
-        pose_stats_file=args.pose_stat_path, dtype=args.dtype)
+        pose_stats_file=args.pose_stat_path, dtype=args.dtype,
+        backbone=args.backbone, feat_dim=args.feat_dim,
+        mesh_data=args.mesh_data, mesh_model=args.mesh_model)
     out = run_training(cfg)
     for scene, b in out["best"].items():
         print(f"{scene}: best median t {b['median_t']:.3f} m, "

@@ -73,7 +73,8 @@ def build_graphs(query_dataset, database_dataset, out_root: str,
     n_db = len(database_dataset)
     for qi in range(n_query):
         if cfg.retrieval_mode == "RAND" or similarity_fn is None:
-            nbrs = rng.choice(n_db, size=n - 1, replace=False)
+            nbrs = rng.choice(n_db, size=n - 1,
+                              replace=n_db < n - 1)  # tiny-DB fallback
         else:
             sim = similarity_fn(qi)
             invalid = (invalid_fn(qi) if invalid_fn is not None

@@ -177,3 +177,38 @@ class TestRetrievalKnob:
                            "--graph-data-path", "/g",
                            "--retrieval", "netvlad"])
         assert a.retrieval == "netvlad"
+
+
+class TestTrainCLIEndToEnd:
+    def test_main_runs_one_epoch(self, tmp_path):
+        """cli/train.py main() end to end on fixture graph stores."""
+        import importlib
+        import os.path as osp
+        from test_data import write_7scenes_fixture
+        from relpose_gnn_tpu.data.graph_builder import (GraphBuilderConfig,
+                                                        build_graphs)
+        from relpose_gnn_tpu.data.seven_scenes import SevenScenes
+
+        raw = str(tmp_path / "raw")
+        graphs = str(tmp_path / "graphs")
+        write_7scenes_fixture(raw, scene="fire", n_seqs=1, n_frames=10,
+                              train=True, size=(40, 32))
+        write_7scenes_fixture(raw, scene="fire", n_seqs=1, n_frames=10,
+                              train=False, size=(40, 32))
+        ds = SevenScenes("fire", raw, train=True, image_size=32)
+        bcfg = GraphBuilderConfig(seq_len=8, retrieval_mode="RAND")
+        for split in ("train", "test"):
+            build_graphs(ds, ds, osp.join(graphs, f"fire_fc8_sp5_{split}"),
+                         bcfg, height=32, width=40)
+
+        train_cli = importlib.import_module("train")
+        train_cli.main([
+            "--dataset", "7Scenes", "--experiment", "2",
+            "--train-scene", "fire", "--test-scene", "fire",
+            "--train-data-dir", graphs + "/",
+            "--test-data-dir", graphs + "/",
+            "--save-dir", str(tmp_path / "out"),
+            "--max-epoch", "1", "--batch-size", "3",
+            "--backbone", "resnet18", "--feat-dim", "32",
+            "--dtype", "float32", "--knn", "2"])
+        assert osp.isdir(str(tmp_path / "out"))
