@@ -179,7 +179,11 @@ def make_eval_step(ref_node: int = 0, fuse: str = "first"):
 
     fuse='mean' | 'median': fuse ALL incoming estimates
     `poses[s] - pred_rel[s, 0]` over edges s -> query (opt-in extension;
-    the reference discards the other N-2 predicted edges).
+    the reference discards the other N-2 predicted edges).  Note that for
+    this model's vector-difference relative-pose convention, a pose-graph
+    least-squares over the star graph with fixed neighbor poses reduces in
+    closed form to exactly this masked mean — so fuse='mean' IS the
+    PGO-optimal fusion here (ops/pgo.py covers the general geometric case).
 
     Returns per-graph (pred_pose6, target_pose6) for the query node; error
     statistics are computed host-side in float64 by the evaluator.
