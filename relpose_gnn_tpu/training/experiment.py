@@ -237,12 +237,6 @@ def run_eval(cfg: ExperimentConfig, weights: str | None = None,
     graph stores that carry nbr_idx, uses the cached-embedding serving path
     (evaluation/serving.py) — identical predictions, ~N x less backbone
     work."""
-    return _run_eval(cfg, weights, save_predictions, serving_data_path)
-
-
-def _run_eval(cfg: ExperimentConfig, weights: str | None,
-              save_predictions: bool,
-              serving_data_path: str | None) -> dict:
     logdir = Path(cfg.save_dir) / cfg.dataset / cfg.test_scene / cfg.exp_name
     logger = get_logger(logfile=str(logdir / "eval.log"))
     _, test_ds = load_datasets(cfg)
