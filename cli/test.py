@@ -27,6 +27,13 @@ def parse_args(argv):
     p.add_argument("--knn", default=4, type=int)
     p.add_argument("--dtype", default="bfloat16",
                    choices=("bfloat16", "float32"))
+    p.add_argument("--seq-len", type=int, default=8,
+                   help="graph size; selects the <scene>_fc{N}_... stores")
+    p.add_argument("--backbone", default="resnet34",
+                   choices=("resnet34", "resnet18", "vit"))
+    p.add_argument("--feat-dim", type=int, default=0,
+                   help="override feat/edge/node dims (0 = preset default)")
+    p.add_argument("--gnn-recursion", type=int, default=2)
     return p.parse_args(argv)
 
 
@@ -42,6 +49,8 @@ def main(argv=None):
         batch_size=args.batch_size, seed=args.seed, knn=args.knn,
         weights_filename=args.weights_filename,
         pose_stats_file=args.pose_stat_path, dtype=args.dtype,
+        seq_len=args.seq_len, backbone=args.backbone,
+        feat_dim=args.feat_dim, gnn_recursion=args.gnn_recursion,
         experiment=2, train_scene=args.test_scene)
     results = run_eval(cfg, serving_data_path=args.serving_data_path)
     for scene, err in results.items():

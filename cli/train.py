@@ -34,6 +34,8 @@ def parse_args(argv):
     p.add_argument("--lambda-AP", dest="lambda_ap", type=float, default=0.0)
     p.add_argument("--max-epoch", type=int, default=200)
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--seq-len", type=int, default=8,
+                   help="graph size; selects the <scene>_fc{N}_... stores")
     p.add_argument("--exp-name", default=None, type=str)
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--knn", default=4, type=int)
@@ -73,7 +75,8 @@ def main(argv=None):
         train_data_dir=args.train_data_dir,
         test_data_dir=args.test_data_dir, save_dir=args.save_dir,
         exp_name=args.exp_name, model_name=args.model_name,
-        batch_size=args.batch_size, max_epoch=args.max_epoch,
+        batch_size=args.batch_size, seq_len=args.seq_len,
+        max_epoch=args.max_epoch,
         seed=args.seed, knn=args.knn, droprate=args.droprate,
         gnn_recursion=args.gnn_recursion, lr=args.lr,
         lr_decay_step=args.lr_decay_step, srq=args.srq, saq=args.saq,

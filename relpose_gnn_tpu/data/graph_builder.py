@@ -11,11 +11,14 @@ and dataset_Cambridge_multi.py:138-298:
     4. record images (resized, pre-normalization), pose6 targets, and the
        static edge structure.
 
-Output is the packed memmap format (data/packed.py).  Edge targets
-`y_R = y[t] - y[s]` are NOT stored: they are a pure function of the stored
-poses and are recomputed on device (ops/graph.relative_pose_targets), unlike
-the reference which materializes edge_attr per graph
-(dataset_7Scenes_multi.py:424-429).
+Output is the packed memmap format (data/packed.py).  Edge targets are NOT
+stored: they are recomputed on device from the stored poses as
+`y_R[s, t] = y[s] - y[t]` (ops/graph.relative_pose_targets — the training
+convention, `compute_RP` at modules/posenet.py:1021-1031).  The reference
+materializes per-graph `edge_attr` with the OPPOSITE sign
+(y[target]-y[source], dataset_7Scenes_multi.py:424-429), but that tensor is
+dead for the production path: training targets come from compute_RP, and
+edge_attr is only touched by the no-op edge-dropout quirk (train.py:244-247).
 """
 
 from __future__ import annotations
@@ -103,14 +106,15 @@ def build_graphs(query_dataset, database_dataset, out_root: str,
             poses[j + 1] = database_dataset.poses[int(dbi)]
         if not ok:
             continue
+        rel_fn = getattr(query_dataset, "rel_path", None)
         writer.add(images, poses, adj,
-                   nbr_idx=np.asarray(nbrs[:n - 1], np.int32))
+                   nbr_idx=np.asarray(nbrs[:n - 1], np.int32),
+                   rel_path=rel_fn(qi) if rel_fn is not None else None)
         written += 1
 
-    # shrink the header to the number actually written (skipped frames,
-    # dataset_Cambridge_multi.py:196-199)
-    writer.meta["num_graphs"] = written
-    writer._count = written
+    # finalize() shrinks the header to the number actually written (skipped
+    # frames, dataset_Cambridge_multi.py:196-199); the loader slices the
+    # preallocated memmaps down to that count.
     writer.finalize()
     return written
 

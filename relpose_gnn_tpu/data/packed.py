@@ -46,7 +46,26 @@ class PackedGraphDataset:
         nbr_path = osp.join(self.root, "nbr_idx.npy")
         self.nbr_idx = (np.load(nbr_path, mmap_mode=self.mode)
                         if osp.isfile(nbr_path) else None)
-        assert self.images.shape == shape_img, (self.images.shape, shape_img)
+        # A store with skipped frames keeps its preallocated memmap length;
+        # the header's num_graphs is authoritative — slice down to it.
+        assert (self.images.shape[0] >= shape_img[0]
+                and self.images.shape[1:] == shape_img[1:]), (
+            self.images.shape, shape_img)
+        rows = m["num_graphs"]
+        self.images = self.images[:rows]
+        self.poses = self.poses[:rows]
+        self.adj = self.adj[:rows]
+        if self.nbr_idx is not None:
+            self.nbr_idx = self.nbr_idx[:rows]
+        # optional: per-graph query-image relative paths (the reference maps
+        # graph files back to RGB paths via TestSplit.txt and embeds them in
+        # the npz export, testing/test.py:101-121, :38-42)
+        rp_path = osp.join(self.root, "rel_paths.json")
+        if osp.isfile(rp_path):
+            with open(rp_path) as f:
+                self.rel_paths = json.load(f)[:rows]
+        else:
+            self.rel_paths = None
         self.mean = np.asarray(m["mean"], np.float32)
         self.std = np.asarray(m["std"], np.float32)
 
@@ -89,9 +108,11 @@ class PackedGraphWriter:
             osp.join(root, "nbr_idx.npy"), mode="w+", dtype=np.int32,
             shape=(num_graphs, num_nodes - 1))
         self._count = 0
+        self._rel_paths: list[str] = []
 
     def add(self, images_01: np.ndarray, poses: np.ndarray,
-            adj: np.ndarray, nbr_idx: np.ndarray | None = None) -> None:
+            adj: np.ndarray, nbr_idx: np.ndarray | None = None,
+            rel_path: str | None = None) -> None:
         """images_01: [N, H, W, 3] float RGB in [0,1] (pre-normalization)."""
         i = self._count
         if self.meta["dtype"] == "uint8":
@@ -105,15 +126,26 @@ class PackedGraphWriter:
             self.nbr_idx[i] = nbr_idx
         else:
             self.nbr_idx[i] = -1
+        if rel_path is not None:
+            self._rel_paths.append(rel_path)
         self._count += 1
 
     def finalize(self) -> None:
-        assert self._count == self.meta["num_graphs"], (
+        # Skipped records (corrupt image / degenerate retrieval) leave the
+        # preallocated memmaps longer than the written count; record the real
+        # count in the header — PackedGraphDataset slices to it at load.
+        assert self._count <= self.meta["num_graphs"], (
             self._count, self.meta["num_graphs"])
+        self.meta["num_graphs"] = self._count
         self.images.flush()
         self.poses.flush()
         self.adj.flush()
         self.nbr_idx.flush()
+        if self._rel_paths:
+            assert len(self._rel_paths) == self._count, (
+                len(self._rel_paths), self._count)
+            with open(osp.join(self.root, "rel_paths.json"), "w") as f:
+                json.dump(self._rel_paths, f)
         with open(osp.join(self.root, "meta.json"), "w") as f:
             json.dump(self.meta, f, indent=1)
 
@@ -130,19 +162,22 @@ class ConcatPackedDataset:
         return int(self._offsets[-1])
 
     def batch(self, indices: np.ndarray) -> dict:
+        """One block gather per distinct source dataset (not per item): the
+        multi-scene training feed is one fancy-index per memmap, with the
+        per-dataset locals sorted for sequential-ish IO."""
         indices = np.asarray(indices)
         which = np.searchsorted(self._offsets, indices, side="right") - 1
-        parts = {"images": [], "poses": [], "adj": []}
-        for ds_idx, local, orig_pos in sorted(
-                zip(which, indices - self._offsets[which],
-                    range(len(indices)))):
-            rec = self.datasets[ds_idx].batch(np.asarray([local]))
-            for k in parts:
-                parts[k].append((orig_pos, rec[k][0]))
-        out = {}
-        for k, lst in parts.items():
-            lst.sort(key=lambda t: t[0])
-            out[k] = np.stack([a for _, a in lst])
+        local = indices - self._offsets[which]
+        out: dict[str, np.ndarray] = {}
+        for ds_idx in np.unique(which):
+            sel = np.flatnonzero(which == ds_idx)
+            order = np.argsort(local[sel], kind="stable")
+            rec = self.datasets[int(ds_idx)].batch(local[sel][order])
+            for k, arr in rec.items():
+                if k not in out:
+                    out[k] = np.empty((len(indices),) + arr.shape[1:],
+                                      arr.dtype)
+                out[k][sel[order]] = arr
         return out
 
     @property

@@ -97,6 +97,12 @@ class SevenScenes:
         return T.load_and_preprocess(self.c_imgs[index], self.image_size,
                                      self.mean, self.std)
 
+    def rel_path(self, index: int) -> str:
+        """Image path relative to the dataset root (the reference embeds
+        these in its npz prediction export, testing/test.py:38-42)."""
+        return str(Path(self.c_imgs[index]).relative_to(
+            osp.expanduser(str(self.data_path))))
+
     def load_depth(self, index: int) -> np.ndarray | None:
         """Depth frame in metres [H, W] (mm with 65535 = invalid -> 0,
         seven_scene_manual_dataset.py:15-18), resized like the RGB."""
@@ -131,6 +137,34 @@ class SevenScenes:
             index += 1
         rel = str(Path(path).relative_to(self.data_path))
         return img, pose, rel
+
+
+def test_split_rgb_paths(data_path: str, scene: str,
+                         expected_count: int | None = None) -> list[str]:
+    """RGB filenames of a scene's TestSplit sequences, in the reference's
+    linear order (testing/test.py:101-121): parse `TestSplit.txt`, then for
+    each sequence take `sorted(seq-NN/*.color.*)` with an `rgb/` sub-layout
+    fallback.  With `expected_count`, asserts the graph-store/filename
+    count invariant the reference enforces (test.py:115-121)."""
+    import re
+
+    base = Path(osp.expanduser(str(data_path))) / scene
+    filenames: list[str] = []
+    with open(base / "TestSplit.txt") as f:
+        for line in f:
+            hit = re.search(r"[\d]+$", line.strip())
+            if hit is None:
+                continue
+            seq_dir = base / f"seq-{int(hit.group()):02d}"
+            rgbs = sorted(seq_dir.glob("*.color.*"))
+            if not rgbs:
+                rgbs = sorted((seq_dir / "rgb").glob("*.color.*"))
+            filenames.extend(str(p) for p in rgbs)
+    if expected_count is not None and len(filenames) != expected_count:
+        raise IOError(
+            f"Not the same number of filenames as test graph files! "
+            f"{len(filenames)} filenames != {expected_count} graphs")
+    return filenames
 
 
 def leave_one_out_file_mask(file_indices: np.ndarray,

@@ -18,22 +18,22 @@ def synthetic_batch(rng: np.random.Generator, batch_size: int = 8,
                     learnable: bool = False) -> dict:
     """One batch in the training tensor contract.
 
-    With `learnable=True` the top-left image patch is a constant block
-    encoding the node pose, so a model can regress relative poses from
-    pixels — used by convergence smoke tests on tiny shapes.
+    With `learnable=True` each pose component fills a full-height vertical
+    stripe (all channels), so the signal survives the backbone's global
+    average pooling and a model can regress relative poses from pixels
+    within a few hundred from-scratch steps — used by convergence smoke
+    tests on tiny shapes.  (An earlier tiny-corner-patch encoding carried
+    ~1/64 of the pooled signal and was not learnable at smoke-test scale.)
     """
     images = rng.normal(size=(batch_size, num_nodes, height, width, 3))
     images = images.astype(np.float32)
     poses = rng.normal(size=(batch_size, num_nodes, 6)).astype(np.float32)
     poses[..., 3:] *= 0.3  # plausible logq magnitudes
     if learnable:
-        ph = max(4, height // 8)
-        pw = max(4, width // 8)
-        for c in range(3):
-            block = poses[..., c * 2][..., None, None]
-            images[:, :, :ph, :pw, c] = block
-            block2 = poses[..., c * 2 + 1][..., None, None]
-            images[:, :, :ph, pw:2 * pw, c] = block2
+        w6 = width // 6
+        for comp in range(6):
+            block = poses[..., comp][..., None, None, None]
+            images[:, :, :, comp * w6:(comp + 1) * w6, :] = block
     adj = np.broadcast_to(graph_ops.fc_adjacency(num_nodes),
                           (batch_size, num_nodes, num_nodes)).copy()
     return {"images": images, "poses": poses, "adj": adj}
@@ -61,8 +61,7 @@ def make_device_batch_fn(batch_size: int, num_nodes: int, height: int,
     adj = jnp.asarray(np.broadcast_to(
         graph_ops.fc_adjacency(num_nodes),
         (batch_size, num_nodes, num_nodes)).copy())
-    ph = max(4, height // 8)
-    pw = max(4, width // 8)
+    w6 = width // 6
 
     @jax.jit
     def gen(key):
@@ -73,15 +72,12 @@ def make_device_batch_fn(batch_size: int, num_nodes: int, height: int,
                                   jnp.float32)
         poses = poses.at[..., 3:].multiply(0.3)
         if learnable:
-            for c in range(3):
-                b1 = jnp.broadcast_to(
-                    poses[..., c * 2][..., None, None],
-                    (batch_size, num_nodes, ph, pw))
-                b2 = jnp.broadcast_to(
-                    poses[..., c * 2 + 1][..., None, None],
-                    (batch_size, num_nodes, ph, pw))
-                images = images.at[:, :, :ph, :pw, c].set(b1)
-                images = images.at[:, :, :ph, pw:2 * pw, c].set(b2)
+            for comp in range(6):  # full-height stripes (see synthetic_batch)
+                b = jnp.broadcast_to(
+                    poses[..., comp][..., None, None, None],
+                    (batch_size, num_nodes, height, w6, 3))
+                images = images.at[
+                    :, :, :, comp * w6:(comp + 1) * w6, :].set(b)
         return {"images": images, "poses": poses, "adj": adj}
 
     return gen

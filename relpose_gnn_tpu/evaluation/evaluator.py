@@ -93,14 +93,26 @@ def evaluate_dataset(eval_step: Callable, state, batches: Iterable[dict],
 
 
 def save_poses(save_dir: str, scene: str, errors: PoseErrors,
-               tag: str = "relpose_gnn_tpu") -> str:
+               tag: str = "relpose_gnn_tpu",
+               rel_paths: list | None = None) -> str:
     """Export predictions in the reference's npz convention with the median
-    errors embedded in the filename (testing/test.py:38-42, :278-284)."""
+    errors embedded in the filename (testing/test.py:38-42, :278-284).
+
+    rel_paths: per-prediction query-image relative paths; stored under the
+    reference's `rel_path` key so downstream tooling can map each
+    prediction back to its RGB frame (test.py:38-42 asserts the count)."""
     os.makedirs(save_dir, exist_ok=True)
     fname = (f"{tag}_{scene}_{errors.median_t:.2f}_"
              f"{errors.median_q:.1f}.npz")
     path = os.path.join(save_dir, fname)
-    np.savez(path,
-             abs_t=errors.pred_poses[:, :3], abs_q=errors.pred_poses[:, 3:],
-             targ_t=errors.targ_poses[:, :3], targ_q=errors.targ_poses[:, 3:])
+    arrays = dict(
+        abs_t=errors.pred_poses[:, :3], abs_q=errors.pred_poses[:, 3:],
+        targ_t=errors.targ_poses[:, :3], targ_q=errors.targ_poses[:, 3:])
+    if rel_paths is not None:
+        if len(rel_paths) != len(errors.pred_poses):
+            raise ValueError(
+                f"len(rel_paths): {len(rel_paths)} != "
+                f"{len(errors.pred_poses)} len(pred_poses)")
+        arrays["rel_path"] = np.asarray(rel_paths)
+    np.savez(path, **arrays)
     return path

@@ -1,38 +1,50 @@
-"""Single-token bottleneck attention block.
+"""Bottleneck self-attention block over the channel axis.
 
-Reference: `AttentionBlock` (modules/att.py:7-34).  Each item attends over a
-sequence of length one, so the softmax `softmax(phi(x) @ theta(x)^T)` is a
-softmax over a single logit and is *identically 1*.  The block therefore
-reduces exactly to a bottleneck residual:
+Reference: `AttentionBlock` (modules/att.py:7-34).  For each item the block
+projects the C-dim feature into three C/8-dim vectors (g, theta, phi), forms
+the rank-1 logit matrix
 
-    z = x + W(g(x))
+    f[i, j] = phi(x)_i * theta(x)_j            # [C/8, C/8] outer product
 
-We implement that reduction directly (saves two matmuls and a softmax) but
-keep `theta`/`phi` as parameters so converted PyTorch checkpoints load
-one-to-one; they are mathematically dead in the reference too.
+softmaxes each *row* over j (att.py:26, `softmax(dim=-1)`), and mixes g(x)
+across bottleneck channels with those weights:
+
+    y_i = sum_j softmax_j(phi_i * theta_j) * g_j
+    z   = x + W(y)
+
+Although the "sequence" has length one, the softmax runs over the C/8
+bottleneck axis and is NOT a no-op: theta/phi are live parameters.  (An
+earlier revision of this module wrongly reduced the block to x + W(g(x));
+see ADVICE.md round 1, finding #1.)
+
+Leading dims are arbitrary — the GNN applies this per edge on
+[..., N, N, C] message tensors.  The [..., C/8, C/8] logit tensor is
+materialised; at the production dim 2048 that is a 256x256 block per item,
+which XLA fuses with the surrounding matmuls (production configs have
+use_attention=False, so this path is ablation-scale).
 """
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
+import jax.numpy as jnp
 import flax.linen as nn
 
 
 class AttentionBlock(nn.Module):
     in_channels: int
-    # keep dead theta/phi params for checkpoint-layout parity with the
-    # reference (their contribution is exactly the identity — see module doc)
-    keep_dead_params: bool = True
+    dtype: Any = None  # compute dtype; params stay fp32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         c8 = self.in_channels // 8
-        g = nn.Dense(c8, name="g")
-        w = nn.Dense(self.in_channels, name="W")
-        if self.keep_dead_params:
-            # instantiate for parameter-tree parity; outputs are unused
-            # because softmax over a length-1 axis == 1 (att.py:25-26), so
-            # XLA dead-code-eliminates these matmuls under jit.
-            nn.Dense(c8, name="theta")(x)
-            nn.Dense(c8, name="phi")(x)
-        return x + w(g(x))
+        g_x = nn.Dense(c8, dtype=self.dtype, name="g")(x)
+        theta_x = nn.Dense(c8, dtype=self.dtype, name="theta")(x)
+        phi_x = nn.Dense(c8, dtype=self.dtype, name="phi")(x)
+        # f = phi_x @ theta_x^T with both viewed as [.., C/8, 1] (att.py:20-25)
+        f = phi_x[..., :, None] * theta_x[..., None, :]
+        w = jax.nn.softmax(f, axis=-1)  # rows over theta-index j (att.py:26)
+        y = jnp.einsum("...ij,...j->...i", w, g_x)
+        return x + nn.Dense(self.in_channels, dtype=self.dtype, name="W")(y)

@@ -90,6 +90,65 @@ class DenseEdgeGNN(nn.Module):
         return x_new, e_new
 
 
+class EdgeModelAtt(nn.Module):
+    """Dense equivalent of `simpleEdgeModelAtt` (my_gnn_layer.py:203-221):
+    edge update MLP followed by an AttentionBlock on the edge output.
+
+    Unused-ablation parity note: the reference constructs
+    `AttentionBlock(in_channels)` but applies it to the `out_channels`-dim
+    MLP output (:214, :220) — it only runs when in == out; we parameterize
+    the attention by the output dim, the only working configuration.
+    """
+
+    node_dim: int
+    edge_dim: int
+    out_dim: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, e: jax.Array) -> jax.Array:
+        n = x.shape[-2]
+        xs = jnp.broadcast_to(x[..., :, None, :],
+                              x.shape[:-2] + (n, n, x.shape[-1]))
+        xt = jnp.broadcast_to(x[..., None, :, :],
+                              x.shape[:-2] + (n, n, x.shape[-1]))
+        e_new = MLP2(self.out_dim, self.out_dim, dtype=self.dtype,
+                     name="edge_mlp")(jnp.concatenate([xs, xt, e], axis=-1))
+        return AttentionBlock(self.out_dim, dtype=self.dtype,
+                              name="att")(e_new)
+
+
+class DenseEdgeGNNSplit(nn.Module):
+    """Dense equivalent of `simpleConvEdge2` (my_gnn_layer.py:355-391):
+    split-head message `concat(mlp1([x_t, x_s, e']), mlp2([x_t, x_s, e']))`
+    (PyG message(x_i, x_j, e): target-then-source order), mean-aggregated;
+    the aggregate IS the new node state (no update MLP).  Node output dim is
+    2 * out_dim."""
+
+    node_dim: int
+    edge_dim: int
+    out_dim: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, e: jax.Array,
+                 adj: jax.Array) -> tuple[jax.Array, jax.Array]:
+        n = x.shape[-2]
+        xs = jnp.broadcast_to(x[..., :, None, :],
+                              x.shape[:-2] + (n, n, x.shape[-1]))
+        xt = jnp.broadcast_to(x[..., None, :, :],
+                              x.shape[:-2] + (n, n, x.shape[-1]))
+        e_new = MLP2(self.edge_dim, self.edge_dim, dtype=self.dtype,
+                     name="edge_mlp")(jnp.concatenate([xs, xt, e], axis=-1))
+        m_in = jnp.concatenate([xt, xs, e_new], axis=-1)
+        p1 = MLP2(self.out_dim, self.out_dim, dtype=self.dtype,
+                  name="mlp1")(m_in)
+        p2 = MLP2(self.out_dim, self.out_dim, dtype=self.dtype,
+                  name="mlp2")(m_in)
+        msg = jnp.concatenate([p1, p2], axis=-1)
+        return masked_mean_aggregate(msg, adj), e_new
+
+
 class DenseEdgeGNNGated(nn.Module):
     """Dense equivalent of `simpleConvEdge_upt_att` (my_gnn_layer.py:314-352):
     message uses [x_s, x_t, e'] and a sigmoid gate MLP on e'."""

@@ -150,6 +150,13 @@ class RelPoseGNN(nn.Module):
         if c.use_attention:
             x = self.att(x)
 
+        # Pre-GNN node embeddings: the reference builds its dynamic kNN graph
+        # from these (posenet.py:1043-1050) and the eval protocol anchors on
+        # an edge OF THAT GRAPH into node 0 (testing/test.py:227-229) — so
+        # anchor selection must also use these, not the post-GNN states
+        # (ADVICE.md r1 finding #2).
+        x_pre_gnn = x
+
         # Dynamic kNN graph in feature space overrides the stored structure
         # (posenet.py:1043-1050).
         if c.knn > 0:
@@ -186,10 +193,13 @@ class RelPoseGNN(nn.Module):
 
         pred_rel = jnp.concatenate(
             [self.fc_xyz_r(e), self.fc_wpqr_r(e)], axis=-1)
-        # aux carries the node embeddings so the evaluator can pick the
-        # reference neighbor (nearest in feature space, testing/test.py:227)
-        # without a second backbone pass.
-        aux = {"node_feats": x}
+        # aux carries the PRE-GNN node embeddings so the evaluator can pick
+        # the reference anchor neighbor — the first kNN edge into node 0 of
+        # the graph built from backbone features (testing/test.py:227-229;
+        # torch-cluster orders neighbors by distance, so "first edge" ==
+        # nearest pre-GNN neighbor) — without a second backbone pass.
+        # Post-GNN states are exposed separately for diagnostics.
+        aux = {"node_feats": x_pre_gnn, "node_feats_post": x}
         return pred_abs, pred_rel, adj, aux
 
     @staticmethod

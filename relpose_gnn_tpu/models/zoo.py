@@ -58,6 +58,30 @@ def build_model(name: str, num_nodes: int = 8, knn: int = 4,
                                       gnn_recursion=gnn_recursion,
                                       dtype=dtype, **overrides)
         return RelPoseGNN(cfg)
+    if name in ("posenetx", "x"):
+        from relpose_gnn_tpu.models.legacy import PoseNetX
+        return PoseNetX(droprate=droprate, dtype=dtype, use_gnn=True,
+                        **overrides)
+    if name in ("posenetx2", "x2"):
+        from relpose_gnn_tpu.models.legacy import PoseNetX2
+        return PoseNetX2(droprate=droprate, dtype=dtype, use_gnn=True,
+                         **overrides)
+    if name in ("posenetx-light", "light"):
+        from relpose_gnn_tpu.models.legacy import PoseNetXLight
+        return PoseNetXLight(droprate=droprate, dtype=dtype, use_gnn=True,
+                             **overrides)
+    if name in ("posenetxox", "xox"):
+        from relpose_gnn_tpu.models.legacy import PoseNetXOX
+        return PoseNetXOX(droprate=droprate, dtype=dtype, use_gnn=True,
+                          **overrides)
+    if name in ("posenetx-r4", "r4"):
+        from relpose_gnn_tpu.models.legacy import PoseNetXR4
+        return PoseNetXR4(droprate=droprate, dtype=dtype, use_gnn=True,
+                          **overrides)
+    if name in ("posenetx3", "x3"):
+        from relpose_gnn_tpu.models.pair_encoder import RelPoseGNNPairEncoder
+        return RelPoseGNNPairEncoder(droprate=droprate, dtype=dtype,
+                                     **overrides)
     if name == "posenet":
         return PoseNet(droprate=droprate, dtype=dtype, **overrides)
     if name in ("posenet-nolog", "posenet_nolog"):
@@ -73,5 +97,8 @@ def build_model(name: str, num_nodes: int = 8, knn: int = 4,
     raise ValueError(f"unknown model {name!r}")
 
 
-MODEL_NAMES = ("R1", "light_knn", "R2", "R3", "R3-vit", "R3-32", "posenet", "posenet-nolog",
+MODEL_NAMES = ("R1", "light_knn", "R2", "R3", "R3-vit", "R3-32",
+               "posenetx", "posenetx2", "posenetx3", "posenetx-light",
+               "posenetxox", "posenetx-r4",
+               "posenet", "posenet-nolog",
                "mapnet", "atloc", "atloc-lstm", "atloc+")

@@ -79,6 +79,61 @@ def init_mapnet_criterion_params(sax: float = -1.0, saq: float = -4.0,
             "srq": jnp.asarray(srq, jnp.float32)}
 
 
+def mapnet_online_criterion(params: dict, pred: jax.Array, targ: jax.Array,
+                            gps_mode: bool = False) -> jax.Array:
+    """`MapNetOnlineCriterion` (criterion.py:171-244): unlabeled-VO variant.
+
+    pred: [B, 2T, 7] — first T are absolute-pose predictions for labeled
+    frames, last T are absolute predictions for the unlabeled VO frames,
+    converted to T-1 geometric VOs via `calc_vos` (pose_utils.py:253-262).
+    targ: [B, 2T-1, 7] — T absolute targets then T-1 VO targets (gps_mode:
+    VO targets carry absolute 2D translations, only [:2] is compared and no
+    rotation term).  Quirk note: the reference computes `T = s[1] / 2` with
+    float division (py2 heritage); we use the intended integer T.
+    """
+    from relpose_gnn_tpu.ops.pose import calc_vo
+
+    t = pred.shape[-2] // 2
+    pred_abs, pred_vos = pred[..., :t, :], pred[..., t:, :]
+    targ_abs, targ_vos = targ[..., :t, :], targ[..., t:, :]
+
+    abs_loss = (jnp.exp(-params["sax"]) * _masked_l1(pred_abs[..., :3],
+                                                     targ_abs[..., :3], None)
+                + params["sax"]
+                + jnp.exp(-params["saq"]) * _masked_l1(pred_abs[..., 3:],
+                                                       targ_abs[..., 3:],
+                                                       None)
+                + params["saq"])
+    if not gps_mode:
+        # consecutive geometric VOs on pose7 (pose_utils calc_vos :262-275)
+        pred_vos = calc_vo(pred_vos[..., :-1, :], pred_vos[..., 1:, :])
+    idx = 2 if gps_mode else 3
+    vo_loss = (jnp.exp(-params["srx"]) * _masked_l1(pred_vos[..., :idx],
+                                                    targ_vos[..., :idx],
+                                                    None)
+               + params["srx"])
+    if not gps_mode:
+        vo_loss = (vo_loss
+                   + jnp.exp(-params["srq"]) * _masked_l1(
+                       pred_vos[..., 3:], targ_vos[..., 3:], None)
+                   + params["srq"])
+    return abs_loss + vo_loss
+
+
+def pose_net_criterion_original(params: dict, pred: jax.Array,
+                                targ: jax.Array) -> jax.Array:
+    """`PoseNetCriterion_original` (criterion.py:299-321): the Kendall-style
+    MSE form on [t(3), quat(4)] with the target quaternion L2-normalized
+    in-place before the loss."""
+    targ_q = targ[..., 3:]
+    targ_q = targ_q / jnp.maximum(
+        jnp.linalg.norm(targ_q, axis=-1, keepdims=True), 1e-12)
+    t_loss = jnp.mean((pred[..., :3] - targ[..., :3]) ** 2)
+    q_loss = jnp.mean((pred[..., 3:] - targ_q) ** 2)
+    return (jnp.exp(-params["sax"]) * t_loss + params["sax"]
+            + jnp.exp(-params["saq"]) * q_loss + params["saq"])
+
+
 def mapnet_criterion(params: dict, pred: jax.Array, targ: jax.Array
                      ) -> jax.Array:
     """Absolute + consecutive-VO loss (criterion.py:113-168).

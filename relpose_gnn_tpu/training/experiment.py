@@ -85,19 +85,23 @@ def scene_lists(cfg: ExperimentConfig) -> tuple[list[str], list[str]]:
     return train_scenes, test_scenes
 
 
-def dataset_root(data_dir: str, scene: str, dataset: str, split: str) -> str:
+def dataset_root(data_dir: str, scene: str, dataset: str, split: str,
+                 seq_len: int = 8) -> str:
+    """`<scene>_fc{N}_sp{5|3}_{split}` — the reference hardcodes fc8
+    (train.py:115-127); we key on seq_len so builder and trainer agree for
+    non-default graph sizes (fc8 for the reference default)."""
     sp = 3 if dataset == "Cambridge" else 5  # train.py:112
-    return osp.join(data_dir, f"{scene}_fc8_sp{sp}_{split}")
+    return osp.join(data_dir, f"{scene}_fc{seq_len}_sp{sp}_{split}")
 
 
 def load_datasets(cfg: ExperimentConfig):
     train_scenes, test_scenes = scene_lists(cfg)
     train_ds = ConcatPackedDataset([
         PackedGraphDataset(dataset_root(cfg.train_data_dir, s, cfg.dataset,
-                                        "train"))
+                                        "train", cfg.seq_len))
         for s in train_scenes])
     test_ds = {s: PackedGraphDataset(
-        dataset_root(cfg.test_data_dir, s, cfg.dataset, "test"))
+        dataset_root(cfg.test_data_dir, s, cfg.dataset, "test", cfg.seq_len))
         for s in test_scenes}
     return train_ds, test_ds
 
@@ -143,7 +147,14 @@ def run_training(cfg: ExperimentConfig) -> dict:
     metrics_out = MetricsWriter(str(logdir / "metrics.jsonl"))
 
     train_ds, test_ds = load_datasets(cfg)
-    steps_per_epoch = max(1, len(train_ds) // cfg.batch_size)
+    # clamp: a dataset smaller than the batch would make the
+    # drop_remainder iterator yield zero batches every epoch
+    batch_size = min(cfg.batch_size, max(1, len(train_ds)))
+    if batch_size < cfg.batch_size:
+        logger.warning("dataset has %d graphs < batch_size %d; clamping "
+                       "batch to %d", len(train_ds), cfg.batch_size,
+                       batch_size)
+    steps_per_epoch = max(1, len(train_ds) // batch_size)
     tcfg = TrainerConfig(lr=cfg.lr, lr_decay_step=cfg.lr_decay_step,
                          saq=cfg.saq, srq=cfg.srq, lambda_ap=cfg.lambda_ap,
                          steps_per_epoch=steps_per_epoch)
@@ -201,15 +212,25 @@ def run_training(cfg: ExperimentConfig) -> dict:
             epoch_start = jax.tree.map(jnp.copy, (state.params,
                                                   state.opt_state,
                                                   state.batch_stats))
-        it = data_iterator(train_ds, batch_size=cfg.batch_size,
+        it = data_iterator(train_ds, batch_size=batch_size,
                            seed=cfg.seed + epoch, epochs=1)
+        m = None
+        nonfinite = jnp.zeros((), bool)
         for batch in device_prefetch(it, train_ds.mean, train_ds.std,
                                      sharding=batch_shardings):
             state, m = train_step(state, batch, rng)
-        if cfg.recover_nonfinite and not np.isfinite(float(m["loss"])):
+            # OR-accumulated on device across EVERY step (a transient +/-inf
+            # mid-epoch must trigger the rollback even if later steps
+            # recover); one host read per epoch below
+            nonfinite = nonfinite | ~jnp.isfinite(m["loss"])
+        if m is None:
+            logger.warning("[epoch %04d] iterator yielded no batches — "
+                           "skipping epoch", epoch)
+            continue
+        if cfg.recover_nonfinite and bool(nonfinite):
             # elastic recovery: discard the divergent epoch's updates
-            logger.warning("[epoch %04d] non-finite loss %s — rolling the "
-                           "epoch back", epoch, float(m["loss"]))
+            logger.warning("[epoch %04d] non-finite loss encountered — "
+                           "rolling the epoch back", epoch)
             p, o, b = epoch_start
             state = state.replace(params=p, opt_state=o, batch_stats=b)
             continue
@@ -256,7 +277,15 @@ def run_eval(cfg: ExperimentConfig, weights: str | None = None,
             state = ckpt.restore_checkpoint(weights, state)
         logger.info("Loaded weights from %s", weights)
 
-    eval_step = make_eval_step(ref_node=0)
+    # anchor rule (testing/test.py:227-229): dynamic kNN graph -> nearest
+    # pre-GNN neighbor; static fc graph (knn=0) -> first edge in
+    # construction order, which for the fc table is node 1
+    static_anchor = None
+    if cfg.knn == 0:
+        from relpose_gnn_tpu.ops.graph import (fc_edge_index,
+                                               first_edge_anchor)
+        static_anchor = first_edge_anchor(fc_edge_index(cfg.seq_len))
+    eval_step = make_eval_step(ref_node=0, static_anchor=static_anchor)
     mean_t, std_t = pose_stats(cfg)
     results = {}
     for s, ds in test_ds.items():
@@ -268,7 +297,7 @@ def run_eval(cfg: ExperimentConfig, weights: str | None = None,
                                  mean_t, std_t)
         logger.info("[scene %s] %s", s, err)
         if save_predictions:
-            save_poses(str(logdir), s, err)
+            save_poses(str(logdir), s, err, rel_paths=ds.rel_paths)
         results[s] = err
     return results
 

@@ -169,13 +169,22 @@ def make_train_step(cfg: TrainerConfig):
     return train_step
 
 
-def make_eval_step(ref_node: int = 0, fuse: str = "first"):
+def make_eval_step(ref_node: int = 0, fuse: str = "first",
+                   static_anchor: int | None = None):
     """Build the jitted batched eval step.
 
     fuse='first' (default, reference parity): recover the query's absolute
     pose from ONE predicted relative pose anchored at the nearest database
     neighbor in feature space — the dense equivalent of
-    testing/test.py:227-233 (first kNN edge into node 0).
+    testing/test.py:227-233 (first kNN edge into node 0; torch-cluster
+    lists a center's neighbors in ascending distance, so "first" == nearest
+    in PRE-GNN feature space).
+
+    static_anchor: with a STATIC graph (knn=0) the reference instead picks
+    the first edge into node 0 in *construction order* — for the fc edge
+    table that is always node 1 (ops/graph.first_edge_anchor), not the
+    feature-space nearest neighbor.  Pass that node index here to replicate;
+    None keeps the feature-space rule (correct for knn>0).
 
     fuse='mean' | 'median': fuse ALL incoming estimates
     `poses[s] - pred_rel[s, 0]` over edges s -> query (opt-in extension;
@@ -196,8 +205,11 @@ def make_eval_step(ref_node: int = 0, fuse: str = "first"):
             {"params": state.params["model"],
              "batch_stats": state.batch_stats},
             batch["images"], batch["adj"], train=False)
-        feats = aux["node_feats"]
-        nbr = graph_ops.nearest_neighbor(feats, node=ref_node)  # [B]
+        if static_anchor is not None:
+            nbr = jnp.full(pred_rel.shape[0], static_anchor, jnp.int32)
+        else:
+            feats = aux["node_feats"]
+            nbr = graph_ops.nearest_neighbor(feats, node=ref_node)  # [B]
         b = pred_rel.shape[0]
         if fuse == "first":
             rp = pred_rel[jnp.arange(b), nbr, ref_node]         # [B, 6]

@@ -243,6 +243,24 @@ class TestGraphBuilder:
             assert (np.abs(q - b["images"][:, j].astype(np.int32))
                     .reshape(n, -1).sum(1) > 0).all()
 
+    def test_skipped_frames_store_is_loadable(self, tmp_path):
+        """A corrupt query image shrinks the store: the header records the
+        written count while the preallocated memmaps keep their full length;
+        the loader must slice, not assert (ADVICE.md r1 #3)."""
+        ds = _ToyDataset(10)
+        bad = {3, 7}
+        orig = ds.load_image
+        ds.load_image = lambda i: None if i in bad else orig(i)
+        cfg = GraphBuilderConfig(seq_len=4, retrieval_mode="RAND", seed=0)
+        out = str(tmp_path / "gskip")
+        written = build_graphs(ds, ds, out, cfg, height=8, width=10)
+        assert written < 10
+        packed = PackedGraphDataset(out)
+        assert len(packed) == written
+        b = packed.batch(np.arange(written))
+        assert b["images"].shape[0] == written
+        assert np.isfinite(b["poses"]).all()
+
     def test_self_exclusion_mask(self):
         m = self_exclusion_mask(10, 3, True)
         assert m[3] and m.sum() == 1
@@ -336,12 +354,28 @@ class TestDeviceSyntheticGenerator:
         assert b["adj"].shape == (2, 4, 4)
         img = np.asarray(b["images"])
         poses = np.asarray(b["poses"])
-        ph, pw = 4, 5
-        # pose channels painted into the top-left patches
-        np.testing.assert_allclose(img[0, 1, :ph, :pw, 0],
+        w6 = 40 // 6
+        # pose components painted as full-height vertical stripes
+        np.testing.assert_allclose(img[0, 1, :, :w6, :],
                                    poses[0, 1, 0], atol=1e-6)
-        np.testing.assert_allclose(img[1, 2, :ph, pw:2 * pw, 2],
+        np.testing.assert_allclose(img[1, 2, :, 5 * w6:6 * w6, :],
                                    poses[1, 2, 5], atol=1e-6)
         # distinct keys -> distinct data
         b2 = gen(jax.random.PRNGKey(1))
         assert not np.allclose(np.asarray(b2["poses"]), poses)
+
+
+class TestTestSplitRgbPaths:
+    def test_mapping_and_count_assertion(self, tmp_path):
+        from relpose_gnn_tpu.data.seven_scenes import test_split_rgb_paths
+        write_7scenes_fixture(str(tmp_path), scene="chess", n_seqs=2,
+                              n_frames=3, train=False)
+        paths = test_split_rgb_paths(str(tmp_path), "chess",
+                                     expected_count=6)
+        assert len(paths) == 6
+        assert all(p.endswith(".color.png") for p in paths)
+        # reference linear order: seq-major, frame-minor (test.py:101-114)
+        assert "seq-01" in paths[0] and "seq-02" in paths[-1]
+        import pytest as _pytest
+        with _pytest.raises(IOError):
+            test_split_rgb_paths(str(tmp_path), "chess", expected_count=5)

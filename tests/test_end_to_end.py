@@ -191,7 +191,10 @@ def test_learns_to_relocalize():
     state = create_train_state(jax.random.PRNGKey(0), model, tcfg,
                                train_batches[0]["images"],
                                train_batches[0]["adj"])
-    eval_step = make_eval_step()
+    # knn=0 -> reference anchors on the first construction-order edge into
+    # node 0 (node 1 for fc graphs); also makes the metric measure pure
+    # edge-regression improvement under a deterministic anchor
+    eval_step = make_eval_step(static_anchor=1)
 
     def median_t(state):
         out = eval_step(state, test_batch)

@@ -139,6 +139,58 @@ class TestElasticRecovery:
         assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
 
 
+class TestTinyDatasetClamp:
+    def test_batch_larger_than_dataset_does_not_crash(self, experiment_dirs,
+                                                      tmp_path):
+        """batch_size > len(dataset) used to make the drop_remainder
+        iterator yield nothing and raise NameError on the metrics read
+        (ADVICE.md r1 #4); the batch must be clamped and training proceed."""
+        root, raw, graphs = experiment_dirs
+        cfg = tiny_cfg(graphs, save_dir=str(tmp_path / "tiny"),
+                       batch_size=64)
+        out = run_training(cfg)
+        assert int(out["state"].step) > 0
+
+
+class TestMidEpochTransientNonFinite:
+    def test_early_batch_nan_triggers_rollback(self, experiment_dirs,
+                                               tmp_path, monkeypatch):
+        """A non-finite loss on an EARLY batch must trigger the rollback
+        even when the epoch's LAST batch reports a finite loss (the r1 code
+        only inspected the final batch)."""
+        root, raw, graphs = experiment_dirs
+        cfg = tiny_cfg(graphs, save_dir=str(tmp_path / "mid"), max_epoch=1,
+                       batch_size=2)
+
+        import jax.numpy as jnp
+        from relpose_gnn_tpu.training import trainer as tr
+        orig_make = tr.make_train_step
+
+        def make_spiked(tcfg):
+            step = orig_make(tcfg)
+            calls = {"n": 0}
+
+            def spiked(state, batch, rng):
+                state, m = step(state, batch, rng)
+                calls["n"] += 1
+                if calls["n"] == 1:  # transient: only the first batch
+                    m = dict(m, loss=jnp.asarray(jnp.nan))
+                return state, m
+
+            return spiked
+
+        monkeypatch.setattr(
+            "relpose_gnn_tpu.training.experiment.make_train_step",
+            make_spiked)
+        out = run_training(cfg)
+        # the single epoch rolled back to its start = the freshly-created
+        # state, whose optimizer state (Adam count/moments) is all zeros;
+        # had the epoch been kept, the moments would be nonzero
+        import jax
+        opt_leaves = jax.tree.leaves(out["state"].opt_state)
+        assert all(np.all(np.asarray(x) == 0) for x in opt_leaves)
+
+
 class TestMeshTraining:
     def test_run_training_on_8_device_mesh(self, experiment_dirs, tmp_path):
         """Full run_training with dp=4 x tp=2 sharding on the virtual CPU

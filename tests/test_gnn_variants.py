@@ -151,3 +151,70 @@ class TestPairEncoder:
         xn, en = layer.apply(v, x, e, adj)
         assert xn.shape == (2, 4, 8) and en.shape == (2, 4, 4, 8)
         assert "upd_mlp" not in v["params"]
+
+
+class TestDenseEdgeGNNSplit:
+    def test_matches_numpy_oracle(self):
+        """simpleConvEdge2 semantics (my_gnn_layer.py:355-391): split-head
+        message concat(mlp1, mlp2) on [x_target, x_source, e'], mean
+        aggregation, no update MLP; node out dim 2*out."""
+        from relpose_gnn_tpu.models.gnn import DenseEdgeGNNSplit
+
+        n, d = 5, 8
+        layer = DenseEdgeGNNSplit(node_dim=d, edge_dim=d, out_dim=d)
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(n, d)).astype(np.float32)
+        e = rng.normal(size=(n, n, d)).astype(np.float32)
+        adj = rng.random((n, n)) < 0.5
+        np.fill_diagonal(adj, False)
+        v = layer.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                       jnp.asarray(e), jnp.asarray(adj))
+        got_x, got_e = layer.apply(v, jnp.asarray(x), jnp.asarray(e),
+                                   jnp.asarray(adj))
+        assert got_x.shape == (n, 2 * d)
+
+        def mlp2(p, vv):
+            h = np.maximum(vv @ p["fc1"]["kernel"] + p["fc1"]["bias"], 0)
+            return h @ p["fc2"]["kernel"] + p["fc2"]["bias"]
+
+        p = jax.tree.map(np.asarray, v["params"])
+        want_x = np.zeros((n, 2 * d))
+        for t in range(n):
+            srcs = np.where(adj[:, t])[0]
+            if not len(srcs):
+                continue
+            msgs = []
+            for s in srcs:
+                e_new = mlp2(p["edge_mlp"],
+                             np.concatenate([x[s], x[t], e[s, t]]))
+                m_in = np.concatenate([x[t], x[s], e_new])
+                msgs.append(np.concatenate([mlp2(p["mlp1"], m_in),
+                                            mlp2(p["mlp2"], m_in)]))
+            want_x[t] = np.mean(msgs, axis=0)
+        np.testing.assert_allclose(np.asarray(got_x), want_x, atol=1e-4)
+
+
+class TestEdgeModelAtt:
+    def test_equals_mlp_then_attention(self):
+        """simpleEdgeModelAtt (my_gnn_layer.py:203-221): edge MLP followed
+        by the (true-math) AttentionBlock."""
+        from relpose_gnn_tpu.models.gnn import EdgeModelAtt, MLP2
+        from relpose_gnn_tpu.models.attention import AttentionBlock
+
+        n, d = 4, 16
+        m = EdgeModelAtt(node_dim=d, edge_dim=d, out_dim=d)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+        e = jnp.asarray(rng.normal(size=(n, n, d)).astype(np.float32))
+        v = m.init(jax.random.PRNGKey(0), x, e)
+        out = m.apply(v, x, e)
+        assert out.shape == (n, n, d)
+
+        # compose the pieces with the same params
+        xs = jnp.broadcast_to(x[:, None, :], (n, n, d))
+        xt = jnp.broadcast_to(x[None, :, :], (n, n, d))
+        mid = MLP2(d, d).apply({"params": v["params"]["edge_mlp"]},
+                               jnp.concatenate([xs, xt, e], axis=-1))
+        want = AttentionBlock(d).apply({"params": v["params"]["att"]}, mid)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   atol=1e-5)

@@ -145,3 +145,24 @@ class TestDenseGraphOps:
         out = np.asarray(graph.ensure_nonempty(m))
         assert out[0].all()         # fully-dropped graph restored
         assert out[1].sum() == 1    # untouched
+
+
+class TestFirstEdgeAnchor:
+    def test_fc_anchor_is_node_1(self):
+        """With the fc construction order, the first edge into node 0 is
+        1 -> 0 (the flipped copies are ordered by separation), NOT the
+        feature-space nearest neighbor (testing/test.py:227-229)."""
+        for n in (4, 8, 16):
+            ei = graph.fc_edge_index(n)
+            assert graph.first_edge_anchor(ei) == 1
+
+    def test_rnn_anchor(self):
+        # chain edges (i, i+1) + flipped: first edge into 0 is 1 -> 0
+        ei = graph.build_edge_index("rnn", 6)
+        assert graph.first_edge_anchor(ei) == 1
+
+    def test_no_edges_raises(self):
+        import pytest
+        ei = np.array([[1, 2], [2, 1]])
+        with pytest.raises(ValueError):
+            graph.first_edge_anchor(ei, ref_node=0)

@@ -77,3 +77,97 @@ class TestMoreVariants:
         v = m.init(jax.random.PRNGKey(0), img, train=False)
         out = m.apply(v, img, train=False)
         assert out.shape == (2, 7)  # t(3) + quat(4)
+
+
+class TestMapNetOnlineCriterion:
+    def test_matches_float64_oracle(self):
+        """criterion.py:171-244 restated in numpy/scipy float64: abs L1 on
+        the first T poses + geometric-VO L1 on the last T converted via
+        calc_vos (in the p0 frame)."""
+        from scipy.spatial.transform import Rotation
+        from relpose_gnn_tpu.training.criterion import (
+            init_mapnet_criterion_params, mapnet_online_criterion)
+
+        rng = np.random.default_rng(0)
+        b, t = 2, 3
+
+        def rand_pose7(shape):
+            q = rng.normal(size=shape + (4,))
+            q /= np.linalg.norm(q, axis=-1, keepdims=True)
+            return np.concatenate(
+                [rng.normal(size=shape + (3,)), q], -1).astype(np.float32)
+
+        pred = rand_pose7((b, 2 * t))
+        targ = rand_pose7((b, 2 * t - 1))
+        params = init_mapnet_criterion_params(0.1, -0.2, 0.3, -0.4)
+        got = float(mapnet_online_criterion(
+            params, jnp.asarray(pred), jnp.asarray(targ)))
+
+        def calc_vo_np(p0, p1):  # pose_utils calc_vo on pose7, float64
+            q0 = Rotation.from_quat(np.roll(p0[3:], -1))
+            q1 = Rotation.from_quat(np.roll(p1[3:], -1))
+            vo_q = (q0.inv() * q1).as_quat()
+            vo_t = q0.inv().apply(p1[:3] - p0[:3])
+            return np.concatenate([vo_t, np.roll(vo_q, 1)])
+
+        p64, t64 = pred.astype(np.float64), targ.astype(np.float64)
+        pa, pv = p64[:, :t], p64[:, t:]
+        ta, tv = t64[:, :t], t64[:, t:]
+        abs_loss = (np.exp(-0.1) * np.abs(pa[..., :3] - ta[..., :3]).mean()
+                    + 0.1
+                    + np.exp(0.2) * np.abs(pa[..., 3:] - ta[..., 3:]).mean()
+                    - 0.2)
+        vos = np.stack([[calc_vo_np(pv[i, j], pv[i, j + 1])
+                         for j in range(t - 1)] for i in range(b)])
+        vo_loss = (np.exp(-0.3) * np.abs(vos[..., :3] - tv[..., :3]).mean()
+                   + 0.3
+                   + np.exp(0.4) * np.abs(np.abs(vos[..., 3:])
+                                          - np.abs(tv[..., 3:])).mean()
+                   - 0.4)
+        # quaternion double cover: compare |q| elementwise on both sides
+        # only if signs already agree; compute the jax-side value of the
+        # VO quaternions to fix the sign convention instead
+        from relpose_gnn_tpu.ops.pose import calc_vo as calc_vo_jax
+        vos_jax = np.asarray(calc_vo_jax(jnp.asarray(pv[..., :-1, :]),
+                                         jnp.asarray(pv[..., 1:, :])))
+        np.testing.assert_allclose(np.abs(vos_jax[..., 3:]),
+                                   np.abs(vos[..., 3:]), atol=1e-4)
+        vo_loss = (np.exp(-0.3) * np.abs(vos_jax[..., :3]
+                                         - tv[..., :3]).mean() + 0.3
+                   + np.exp(0.4) * np.abs(vos_jax[..., 3:]
+                                          - tv[..., 3:]).mean() - 0.4)
+        np.testing.assert_allclose(got, abs_loss + vo_loss, rtol=1e-5)
+
+    def test_gps_mode(self):
+        from relpose_gnn_tpu.training.criterion import (
+            init_mapnet_criterion_params, mapnet_online_criterion)
+        rng = np.random.default_rng(1)
+        pred = rng.normal(size=(2, 4, 7)).astype(np.float32)
+        targ = rng.normal(size=(2, 3, 7)).astype(np.float32)
+        params = init_mapnet_criterion_params(0.0, 0.0, 0.0, 0.0)
+        got = float(mapnet_online_criterion(
+            params, jnp.asarray(pred), jnp.asarray(targ), gps_mode=True))
+        pa, pv = pred[:, :2], pred[:, 2:]
+        ta, tv = targ[:, :2], targ[:, 2:]
+        want = (np.abs(pa[..., :3] - ta[..., :3]).mean()
+                + np.abs(pa[..., 3:] - ta[..., 3:]).mean()
+                + np.abs(pv[..., :2] - tv[..., :2]).mean())
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+class TestPoseNetCriterionOriginal:
+    def test_mse_with_target_quat_normalization(self):
+        from relpose_gnn_tpu.training.criterion import (
+            init_criterion_params, pose_net_criterion_original)
+        rng = np.random.default_rng(2)
+        pred = rng.normal(size=(5, 7)).astype(np.float32)
+        targ = rng.normal(size=(5, 7)).astype(np.float32)
+        params = init_criterion_params(0.5, -0.5)
+        got = float(pose_net_criterion_original(
+            params, jnp.asarray(pred), jnp.asarray(targ)))
+        tq = targ[:, 3:] / np.linalg.norm(targ[:, 3:], axis=1,
+                                          keepdims=True)
+        want = (np.exp(-0.5) * ((pred[:, :3] - targ[:, :3]) ** 2).mean()
+                + 0.5
+                + np.exp(0.5) * ((pred[:, 3:] - tq) ** 2).mean() - 0.5)
+        np.testing.assert_allclose(got, want, rtol=1e-5)

@@ -16,25 +16,61 @@ def tree_size(tree):
     return sum(x.size for x in jax.tree.leaves(tree))
 
 
+def attention_oracle(params, x):
+    """Numpy oracle for the true reference attention math (att.py:16-34):
+    f = phi(x) outer theta(x) [*, C/8, C/8], softmax over the LAST axis,
+    y = softmax(f) @ g(x), z = x + W(y)."""
+    def lin(p, v):
+        return v @ np.asarray(p["kernel"]) + np.asarray(p["bias"])
+
+    g_x = lin(params["g"], x)
+    theta_x = lin(params["theta"], x)
+    phi_x = lin(params["phi"], x)
+    f = phi_x[..., :, None] * theta_x[..., None, :]
+    f = f - f.max(axis=-1, keepdims=True)
+    w = np.exp(f) / np.exp(f).sum(axis=-1, keepdims=True)
+    y = np.einsum("...ij,...j->...i", w, g_x)
+    return x + lin(params["W"], y)
+
+
 class TestAttentionBlock:
-    def test_reduces_to_bottleneck_residual(self):
-        """The reference's 1-token softmax is identically 1 (att.py:25-26),
-        so the block must equal x + W(g(x))."""
+    def test_matches_numpy_oracle(self):
         m = AttentionBlock(in_channels=64)
-        rng = jax.random.PRNGKey(0)
+        x = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (5, 64)))
+        params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+        out = m.apply({"params": params}, jnp.asarray(x))
+        want = attention_oracle(jax.tree.map(np.asarray, params), x)
+        np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
+
+    def test_matches_torch_reference(self):
+        """Cross-check vs the torch restatement of att.py:7-34."""
+        import torch
+        from tests.torch_ref import TorchSimpleConvEdgeUpt
+
+        dim = 32
+        t_att = TorchSimpleConvEdgeUpt(dim).att
+        m = AttentionBlock(in_channels=dim)
+        x = np.random.default_rng(0).normal(size=(7, dim)).astype(np.float32)
+        params = {
+            k: {"kernel": np.asarray(getattr(t_att, k).weight.detach()).T,
+                "bias": np.asarray(getattr(t_att, k).bias.detach())}
+            for k in ("g", "theta", "phi", "W")}
+        got = m.apply({"params": params}, jnp.asarray(x))
+        with torch.no_grad():
+            want = t_att(torch.from_numpy(x)).numpy()
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    def test_theta_phi_are_live(self):
+        """theta/phi must influence the output (ADVICE.md r1 finding #1: an
+        earlier revision wrongly treated them as dead parameters)."""
+        m = AttentionBlock(in_channels=64)
         x = jax.random.normal(jax.random.PRNGKey(1), (5, 64))
-        params = m.init(rng, x)["params"]
+        params = m.init(jax.random.PRNGKey(0), x)["params"]
         out = m.apply({"params": params}, x)
-
-        g_k, g_b = params["g"]["kernel"], params["g"]["bias"]
-        w_k, w_b = params["W"]["kernel"], params["W"]["bias"]
-        want = x + (x @ g_k + g_b) @ w_k + w_b
-        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
-                                   atol=1e-5)
-
-    def test_has_dead_params_for_checkpoint_parity(self):
-        m = AttentionBlock(in_channels=64)
-        params = m.init(jax.random.PRNGKey(0), jnp.ones((2, 64)))["params"]
+        mutated = jax.tree.map(lambda a: a, params)
+        mutated["theta"] = jax.tree.map(lambda a: a + 1.0, mutated["theta"])
+        out2 = m.apply({"params": mutated}, x)
+        assert not np.allclose(np.asarray(out), np.asarray(out2))
         assert set(params.keys()) == {"g", "W", "theta", "phi"}
 
 
@@ -55,10 +91,7 @@ class TestDenseEdgeGNN:
                 e_new[s, t] = mlp2(params["edge_mlp"], inp)
                 m = mlp2(params["msg_mlp"],
                          np.concatenate([x[s], e_new[s, t]]))
-                a = params["att"]
-                m = m + (m @ a["g"]["kernel"] + a["g"]["bias"]) \
-                    @ a["W"]["kernel"] + a["W"]["bias"]
-                msg[s, t] = m
+                msg[s, t] = attention_oracle(params["att"], m)
         aggr = np.zeros((n, d))
         for t in range(n):
             srcs = np.where(adj[:, t])[0]

@@ -1,0 +1,163 @@
+"""Turnkey parity harness (cli/parity.py) end-to-end on synthetic stand-ins:
+a reference-layout .pth.tar checkpoint + a directory of torch-geometric
+graph pickles read WITHOUT torch-geometric (data/pyg_import.py stubs)."""
+
+import os.path as osp
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from torch_ref import TorchRelPoseGNN
+
+sys.path.insert(0, osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                            "cli"))
+import parity  # noqa: E402  (cli/parity.py)
+from relpose_gnn_tpu.data import pyg_import
+from relpose_gnn_tpu.ops import graph as graph_ops
+
+
+def _write_ckpt(path, dim=32, stages=(2, 2, 2, 2)):
+    """Reference checkpoint layout: {'model_state_dict': ...}
+    (utils/utils.py:22-31)."""
+    torch.manual_seed(0)
+    tm = TorchRelPoseGNN(dim=dim, stage_sizes=stages, recursion=2,
+                         knn=4).eval()
+    for m in tm.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.uniform_(-0.2, 0.2)
+            m.running_var.uniform_(0.8, 1.2)
+    torch.save({"epoch": 39, "model_state_dict": tm.state_dict()}, path)
+    return tm
+
+
+def _write_pyg_dir(root, n_graphs=6, n=4, h=32, w=36, seed=0):
+    """Emulate the reference's processed/data_*.pt layout using the stub
+    classes themselves (PyG 2.x nested `_store._mapping` shape), so the
+    reader's class resolution AND recursive tensor search are exercised."""
+    pyg_import.install_pyg_stubs()
+    import sys
+    data_mod = sys.modules["torch_geometric.data.data"]
+    storage_mod = sys.modules["torch_geometric.data.storage"]
+    Data = data_mod.Data
+    GlobalStorage = storage_mod.GlobalStorage
+
+    proc = osp.join(root, "processed")
+    import os
+    os.makedirs(proc, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    ei = graph_ops.fc_edge_index(n)
+    graphs = []
+    for i in range(n_graphs):
+        images = rng.normal(size=(n, 3, h, w)).astype(np.float32)
+        y = rng.normal(size=(n, 6)).astype(np.float32)
+        d = Data()
+        d._store = GlobalStorage()
+        d._store._mapping = {
+            "x": torch.from_numpy(images.reshape(n, -1).copy()),
+            "edge_index": torch.from_numpy(ei.copy()),
+            "y": torch.from_numpy(y.copy()),
+            "edge_attr": torch.zeros(ei.shape[1], 6),
+        }
+        torch.save(d, osp.join(proc, f"data_{i:06d}.pt"))
+        graphs.append((images, y))
+    return graphs
+
+
+class TestPygImport:
+    def test_roundtrip_nested_layout(self, tmp_path):
+        graphs = _write_pyg_dir(str(tmp_path), n_graphs=2)
+        out = list(pyg_import.iter_pyg_dir(str(tmp_path), img_height=32))
+        assert len(out) == 2
+        idx, g = out[0]
+        assert idx == 0
+        # x unflattened back to NHWC images
+        np.testing.assert_allclose(
+            g["images"], graphs[0][0].transpose(0, 2, 3, 1), atol=1e-6)
+        np.testing.assert_allclose(g["poses"], graphs[0][1], atol=1e-6)
+        want_adj = graph_ops.edge_index_to_adj(graph_ops.fc_edge_index(4), 4)
+        np.testing.assert_array_equal(g["adj"], want_adj)
+
+    def test_flat_layout(self, tmp_path):
+        """PyG 1.x style: tensors directly on the Data object."""
+        pyg_import.install_pyg_stubs()
+        import sys
+        Data = sys.modules["torch_geometric.data.data"].Data
+        d = Data()
+        d.x = torch.ones(4, 3 * 8 * 8)
+        d.edge_index = torch.from_numpy(graph_ops.fc_edge_index(4).copy())
+        d.y = torch.zeros(4, 6)
+        p = tmp_path / "data_000000.pt"
+        torch.save(d, p)
+        g = pyg_import.load_pyg_graph(p)
+        assert g["x"].shape == (4, 192)
+        assert g["y"].shape == (4, 6)
+
+
+class TestParityCLI:
+    def test_end_to_end_on_stand_in(self, tmp_path, capsys):
+        """Released-artifact flow with zero new code: .pth.tar in,
+        per-scene medians + published-diff table out; predictions must
+        exactly match the torch reference model run on the same graphs."""
+        ckpt = str(tmp_path / "relpose_gnn__multi_39.pth.tar")
+        tm = _write_ckpt(ckpt)
+        gdir = str(tmp_path / "chess_fc4_sp5_test")
+        graphs = _write_pyg_dir(gdir, n_graphs=5, n=4, h=32, w=36)
+
+        rows = parity.main([
+            "--weights", ckpt,
+            "--graph-data-dir", str(tmp_path),
+            "--scenes", "chess",
+            "--seq-len", "4", "--knn", "4",
+            "--backbone", "resnet18", "--img-height", "32",
+            "--batch-size", "4", "--dtype", "float32",
+            "--save-dir", str(tmp_path / "preds")])
+        printed = capsys.readouterr().out
+        assert "chess" in printed and "pub t" in printed
+        scene, err, pub = rows[0]
+        assert scene == "chess" and pub == (0.09, 2.9)
+        assert np.isfinite(err.median_t) and np.isfinite(err.median_q)
+
+        # golden cross-check: reference protocol by hand with the torch model
+        t_errs = []
+        for images, y in graphs:
+            with torch.no_grad():
+                _, out_r, ei = tm(torch.from_numpy(images), None)
+            ei = ei.numpy()
+            ref_idx = int(np.argwhere(ei[1] == 0)[0, 0])
+            pred6 = y[ei[0, ref_idx]] - out_r.numpy()[ref_idx]
+            t_errs.append(np.linalg.norm(pred6[:3] - y[0, :3]))
+        np.testing.assert_allclose(
+            sorted(err.t_errors), sorted(t_errs), atol=2e-3)
+
+        import glob
+        assert glob.glob(str(tmp_path / "preds" / "*.npz"))
+
+    def test_knn0_static_anchor_path(self, tmp_path):
+        """knn=0 must anchor on the construction-order first edge
+        (node 1), matching the hand-run reference protocol."""
+        ckpt = str(tmp_path / "w.pth.tar")
+        tm = _write_ckpt(ckpt)
+        tm.knn = 0
+        gdir = str(tmp_path / "chess_fc4_sp5_test")
+        graphs = _write_pyg_dir(gdir, n_graphs=3, n=4, h=32, w=36)
+        rows = parity.main([
+            "--weights", ckpt, "--graph-data-dir", str(tmp_path),
+            "--scenes", "chess", "--seq-len", "4", "--knn", "0",
+            "--backbone", "resnet18", "--img-height", "32",
+            "--batch-size", "4", "--dtype", "float32"])
+        _, err, _ = rows[0]
+        ei = graph_ops.fc_edge_index(4)
+        ref_idx = int(np.argwhere(ei[1] == 0)[0, 0])
+        assert ei[0, ref_idx] == 1  # construction-order anchor is node 1
+        t_errs = []
+        for images, y in graphs:
+            with torch.no_grad():
+                _, out_r, _ = tm(torch.from_numpy(images),
+                                 torch.from_numpy(ei.copy()))
+            pred6 = y[1] - out_r.numpy()[ref_idx]
+            t_errs.append(np.linalg.norm(pred6[:3] - y[0, :3]))
+        np.testing.assert_allclose(sorted(err.t_errors), sorted(t_errs),
+                                   atol=2e-3)

@@ -110,8 +110,17 @@ class TorchSimpleConvEdgeUpt(nn.Module):
                 self.phi = nn.Linear(dim, dim // 8)
                 self.W = nn.Linear(dim // 8, dim)
 
-            def forward(self, x):  # 1-token softmax == identity weight
-                return x + self.W(self.g(x))
+            def forward(self, x):
+                # true reference math (att.py:20-33): f = phi @ theta^T is a
+                # [*, C/8, C/8] outer product, softmax over the LAST axis
+                # mixes g(x) across bottleneck channels
+                g_x = self.g(x).unsqueeze(-1)            # [*, c8, 1]
+                theta_x = self.theta(x).unsqueeze(-2)    # [*, 1, c8]
+                phi_x = self.phi(x).unsqueeze(-1)        # [*, c8, 1]
+                f = torch.matmul(phi_x, theta_x)         # [*, c8, c8]
+                w = F.softmax(f, dim=-1)
+                y = torch.matmul(w, g_x).squeeze(-1)     # [*, c8]
+                return x + self.W(y)
 
         self.att = Att()
 
@@ -132,12 +141,30 @@ class TorchSimpleConvEdgeUpt(nn.Module):
         return x_new, e_new
 
 
-class TorchRelPoseGNN(nn.Module):
-    """Full reference-semantics model (PoseNetX_R2, static fc graph,
-    weight-tied gnn1 applied `recursion` times), torchvision-style
-    state-dict names for convert.convert_relpose_gnn."""
+def torch_knn_edge_index(x: "torch.Tensor", k: int) -> "torch.Tensor":
+    """Restatement of `torch_cluster.knn_graph(x, k, loop=False)` semantics
+    (the dynamic-graph override at reference posenet.py:1043-1050): for each
+    center node i, edges (j, i) from its k nearest neighbors j (L2, self
+    excluded), neighbors listed in ascending distance per center — so the
+    FIRST edge into node 0 is its nearest neighbor (testing/test.py:227-229
+    anchor-selection contract)."""
+    d = torch.cdist(x.double(), x.double())
+    d.fill_diagonal_(float("inf"))
+    nbr = d.topk(k, largest=False).indices            # [N, k] ascending
+    n = x.shape[0]
+    col = torch.arange(n).repeat_interleave(k)        # centers/targets
+    row = nbr.reshape(-1)                             # sources
+    return torch.stack([row, col])
 
-    def __init__(self, dim=32, stage_sizes=(2, 2, 2, 2), recursion=2):
+
+class TorchRelPoseGNN(nn.Module):
+    """Full reference-semantics model (PoseNetX_R2: static fc graph or
+    dynamic kNN override when knn > 0, weight-tied gnn1 applied `recursion`
+    times), torchvision-style state-dict names for
+    convert.convert_relpose_gnn."""
+
+    def __init__(self, dim=32, stage_sizes=(2, 2, 2, 2), recursion=2,
+                 knn=0):
         super().__init__()
         self.feature_extractor = TorchResNet(stage_sizes, feat_dim=dim)
         self.proj_edge = nn.Linear(2 * dim, dim)
@@ -147,9 +174,12 @@ class TorchRelPoseGNN(nn.Module):
         self.fc_xyz_R = nn.Linear(dim, 3)
         self.fc_wpqr_R = nn.Linear(dim, 3)
         self.recursion = recursion
+        self.knn = knn
 
     def forward(self, images_nchw, edge_index):
         x = self.feature_extractor(images_nchw)
+        if self.knn > 0:  # dynamic kNN graph overrides the stored structure
+            edge_index = torch_knn_edge_index(x, self.knn)
         lo = torch.minimum(edge_index[0], edge_index[1])
         hi = torch.maximum(edge_index[0], edge_index[1])
         e = torch.cat([x[lo], x[hi]], dim=1)
@@ -160,4 +190,4 @@ class TorchRelPoseGNN(nn.Module):
             e = F.relu(e)
         pred = torch.cat([self.fc_xyz(x), self.fc_wpqr(x)], dim=1)
         pred_r = torch.cat([self.fc_xyz_R(e), self.fc_wpqr_R(e)], dim=1)
-        return pred, pred_r
+        return pred, pred_r, edge_index
