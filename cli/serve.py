@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""On-device relocalization service CLI.
+
+Builds the device-resident database (NetVLAD descriptors + backbone
+embeddings + poses) for one scene's train split, then serves the scene's
+query split through the single jitted query path
+(evaluation/service.py): retrieval matmul -> strided neighbor subsample ->
+cached-embedding graph assembly -> GNN -> absolute pose.
+
+This closes the loop the reference leaves split across an offline
+preprocessing pipeline and a separate eval script (SURVEY.md §3.2-3.3) —
+there is no reference analog; errors are reported with the standard
+per-scene median protocol when ground truth is available.
+
+Example:
+    python cli/serve.py --dataset 7Scenes --scene chess \
+      --data-path /data/7Scenes --weights epoch_199.ckpt \
+      --netvlad-checkpoint netvlad_vgg16.tar --batch-size 64
+"""
+
+import argparse
+import sys
+import time
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser("relpose_gnn_tpu serve")
+    p.add_argument("--dataset", default="7Scenes",
+                   choices=("7Scenes", "Cambridge"))
+    p.add_argument("--scene", required=True)
+    p.add_argument("--data-path", required=True, help="raw dataset root")
+    p.add_argument("--weights", default="",
+                   help=".pth.tar (converted) or Orbax ckpt dir; empty = "
+                        "random init (pipeline smoke only)")
+    p.add_argument("--netvlad-checkpoint", default="",
+                   help="netvlad_vgg16.tar; empty = random init (retrieval "
+                        "quality will be meaningless)")
+    p.add_argument("--stats-path", default=None,
+                   help="7-Scenes per-scene stats dir (default: bundled)")
+    p.add_argument("--model-name", default="R3")
+    p.add_argument("--backbone", default="resnet34")
+    p.add_argument("--feat-dim", type=int, default=0)
+    p.add_argument("--seq-len", type=int, default=8)
+    p.add_argument("--sampling-period", type=int, default=None,
+                   help="default: 5 (7-Scenes) / 3 (Cambridge)")
+    p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--deterministic", action="store_true",
+                   help="plain strided top-k (no stochastic drop/offset)")
+    p.add_argument("--no-fold-bn", action="store_true")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=("bfloat16", "float32"))
+    p.add_argument("--out", default=None, help="npz output for poses")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--retrieval-hw", type=int, nargs=2, default=(192, 256),
+                   metavar=("H", "W"),
+                   help="NetVLAD input size (smoke tests use smaller)")
+    p.add_argument("--netvlad-clusters", type=int, default=64,
+                   help="NetVLAD clusters (reference: 64)")
+    return p.parse_args(argv)
+
+
+def _load_split(args, train: bool):
+    if args.dataset == "7Scenes":
+        from relpose_gnn_tpu.data.seven_scenes import SevenScenes
+        return SevenScenes(args.scene, args.data_path, train=train,
+                           image_size=args.image_size)
+    from relpose_gnn_tpu.data.cambridge import CambridgeLandmark
+    return CambridgeLandmark(args.scene, args.data_path, train=train,
+                             image_size=args.image_size,
+                             normalize_images=False)
+
+
+def main(argv=None):
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from relpose_gnn_tpu.data.graph_builder import _fit
+    from relpose_gnn_tpu.data.seven_scenes import load_scene_stats
+    from relpose_gnn_tpu.evaluation.evaluator import compute_pose_errors
+    from relpose_gnn_tpu.evaluation.service import (RelocalizationService,
+                                                    ServiceConfig)
+    from relpose_gnn_tpu.models.netvlad import NetVLADEncoder
+    from relpose_gnn_tpu.training.experiment import (ExperimentConfig,
+                                                     build_model)
+    from relpose_gnn_tpu.training import checkpoints as ckpt
+    from relpose_gnn_tpu.training.trainer import (TrainerConfig,
+                                                  create_train_state)
+
+    # --- model + weights ---------------------------------------------------
+    ecfg = ExperimentConfig(dataset=args.dataset, model_name=args.model_name,
+                            backbone=args.backbone, feat_dim=args.feat_dim,
+                            seq_len=args.seq_len, knn=args.seq_len // 2,
+                            droprate=0.0, dtype=args.dtype)
+    model = build_model(ecfg)
+    h = args.image_size
+    w = {256: 341}.get(h, h)  # 7-Scenes 4:3 -> 256x341 after resize
+    state = create_train_state(
+        jax.random.PRNGKey(args.seed), model, TrainerConfig(),
+        jnp.ones((1, args.seq_len, h, w, 3)),
+        jnp.ones((1, args.seq_len, args.seq_len), bool))
+    if args.weights:
+        if args.weights.endswith((".pth", ".pth.tar", ".tar")):
+            state = ckpt.load_torch_weights(state, args.weights)
+        else:
+            state = ckpt.restore_checkpoint(args.weights, state)
+        print(f"loaded model weights: {args.weights}")
+    else:
+        print("WARNING: random model weights (smoke mode)")
+    model_vars = {"params": state.params["model"],
+                  "batch_stats": state.batch_stats}
+
+    # --- NetVLAD -----------------------------------------------------------
+    netvlad = NetVLADEncoder(num_clusters=args.netvlad_clusters)
+    rhw = tuple(args.retrieval_hw)
+    if args.netvlad_checkpoint:
+        from relpose_gnn_tpu.models.convert import (convert_netvlad,
+                                                    load_torch_state_dict)
+        nv_params = convert_netvlad(
+            load_torch_state_dict(args.netvlad_checkpoint))
+        nv_vars = {"params": nv_params}
+        print(f"loaded NetVLAD: {args.netvlad_checkpoint}")
+    else:
+        nv_vars = netvlad.init(jax.random.PRNGKey(1),
+                               jnp.ones((1,) + rhw + (3,)))
+        print("WARNING: random NetVLAD weights (smoke mode)")
+
+    # --- scene normalization ----------------------------------------------
+    if args.dataset == "7Scenes":
+        mean, std = load_scene_stats(args.stats_path, args.scene)
+    else:
+        mean, std = np.full(3, 0.5, np.float32), np.full(3, 0.25, np.float32)
+    mean_j, std_j = jnp.asarray(mean), jnp.asarray(std)
+
+    def model_norm(x01):
+        return (x01 - mean_j) / std_j
+
+    # --- database ----------------------------------------------------------
+    sp = args.sampling_period or (3 if args.dataset == "Cambridge" else 5)
+    svc = RelocalizationService(
+        model, model_vars, netvlad, nv_vars,
+        ServiceConfig(seq_len=args.seq_len, sampling_period=sp,
+                      retrieval_hw=rhw,
+                      deterministic=args.deterministic),
+        fold_bn=not args.no_fold_bn)
+
+    db = _load_split(args, train=True)
+    print(f"building database: {len(db)} frames ...")
+    imgs = np.zeros((len(db), h, w, 3), np.float32)
+    for i in range(len(db)):
+        img = db.load_image(i)
+        if img is not None:
+            imgs[i] = _fit(img, h, w)
+    t0 = time.perf_counter()
+    svc.build(imgs, db.poses, model_norm, batch=args.batch_size)
+    jax.block_until_ready(svc.db_desc)
+    print(f"database built in {time.perf_counter() - t0:.1f}s")
+
+    # --- serve the query split --------------------------------------------
+    q = _load_split(args, train=False)
+    print(f"serving {len(q)} queries (batch {args.batch_size}) ...")
+    poses_out, t_serve, served = [], 0.0, 0
+    rng = jax.random.PRNGKey(args.seed)
+    for i in range(0, len(q), args.batch_size):
+        n = min(args.batch_size, len(q) - i)
+        batch = np.zeros((n, h, w, 3), np.float32)
+        for j in range(n):
+            img = q.load_image(i + j)
+            if img is not None:
+                batch[j] = _fit(img, h, w)
+        rng, sub = jax.random.split(rng)
+        t0 = time.perf_counter()
+        out = svc.query(batch, model_norm, sub)
+        pose = np.asarray(jax.block_until_ready(out["pose"]))
+        t_serve += time.perf_counter() - t0
+        served += n
+        poses_out.append(pose)
+    poses_out = np.concatenate(poses_out)
+    print(f"served {served} queries in {t_serve:.2f}s "
+          f"({served / max(t_serve, 1e-9):.0f} q/s incl. retrieval; "
+          f"excludes host image decode)")
+
+    err = compute_pose_errors(poses_out, q.poses[:len(poses_out)])
+    print(err)
+    if args.out:
+        np.savez(args.out, pose6=poses_out,
+                 abs_t=err.pred_poses[:, :3], abs_q=err.pred_poses[:, 3:],
+                 targ_t=err.targ_poses[:, :3], targ_q=err.targ_poses[:, 3:])
+        print(f"wrote {args.out}")
+    return err
+
+
+if __name__ == "__main__":
+    main()

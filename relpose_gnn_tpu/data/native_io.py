@@ -126,6 +126,81 @@ class NativeArray:
             pass
 
 
+class NativeConcatDataset:
+    """Multi-root concat view with native block gathers — a drop-in for
+    `ConcatPackedDataset.batch` (same keys, mean/std, __len__) that the
+    training feed uses when the C++ runtime is available.
+
+    Per batch: indices are grouped by source store (stable sort), each
+    group is gathered by the native thread pool directly into a contiguous
+    slice of the preallocated output, so a multi-scene batch costs one
+    gather call per touched store instead of a Python loop per record.
+    Rows come out grouped by store — irrelevant for shuffled training
+    batches (and deterministic given the indices).
+
+    Respects each store's meta.json `num_graphs` (shrunk stores keep
+    longer preallocated memmaps — see data/packed.py).
+    """
+
+    KEYS = ("images", "poses", "adj")
+
+    def __init__(self, roots: list[str], threads: int = 4):
+        import json
+
+        self.threads = threads
+        self.parts = []
+        sizes = []
+        for root in roots:
+            with open(osp.join(root, "meta.json")) as f:
+                meta = json.load(f)
+            arrays = {k: NativeArray(osp.join(root, f"{k}.npy"))
+                      for k in self.KEYS}
+            self.parts.append(arrays)
+            sizes.append(meta["num_graphs"])
+            if not hasattr(self, "mean"):
+                self.mean = np.asarray(meta["mean"], np.float32)
+                self.std = np.asarray(meta["std"], np.float32)
+        rec0 = self.parts[0]["images"].rec_shape
+        assert all(p["images"].rec_shape == rec0 for p in self.parts), \
+            "stores must share graph shape"
+        self._offsets = np.concatenate([[0], np.cumsum(sizes)])
+
+    def __len__(self) -> int:
+        return int(self._offsets[-1])
+
+    def batch(self, indices: np.ndarray) -> dict:
+        indices = np.asarray(indices)
+        which = np.searchsorted(self._offsets, indices, side="right") - 1
+        local = (indices - self._offsets[which]).astype(np.int64)
+        order = np.argsort(which, kind="stable")
+        which, local = which[order], local[order]
+        n = len(indices)
+        out = {k: np.empty((n,) + self.parts[0][k].rec_shape,
+                           self.parts[0][k].dtype) for k in self.KEYS}
+        lo = 0
+        while lo < n:
+            hi = lo
+            while hi < n and which[hi] == which[lo]:
+                hi += 1
+            arrays = self.parts[int(which[lo])]
+            for k in self.KEYS:
+                arrays[k].gather(local[lo:hi], out=out[k][lo:hi],
+                                 threads=self.threads)
+            lo = hi
+        return out
+
+    def close(self):
+        for p in getattr(self, "parts", []):
+            for a in p.values():
+                a.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
 class NativeBatchLoader:
     """Async double-buffered batch loader over a packed dataset directory.
 

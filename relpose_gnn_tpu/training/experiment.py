@@ -147,6 +147,20 @@ def run_training(cfg: ExperimentConfig) -> dict:
     metrics_out = MetricsWriter(str(logdir / "metrics.jsonl"))
 
     train_ds, test_ds = load_datasets(cfg)
+    # training feed: the C++ graphio runtime (mmap + thread-pool block
+    # gathers, native/graphio.cc) when buildable, else the numpy memmaps —
+    # same .batch() contract either way
+    train_feed = train_ds
+    from relpose_gnn_tpu.data import native_io
+    if native_io.available():
+        try:
+            roots = [dataset_root(cfg.train_data_dir, s, cfg.dataset,
+                                  "train", cfg.seq_len)
+                     for s in scene_lists(cfg)[0]]
+            train_feed = native_io.NativeConcatDataset(roots)
+            logger.info("training feed: native C++ graphio")
+        except Exception as exc:  # pragma: no cover - env-dependent
+            logger.warning("native feed unavailable (%s); numpy path", exc)
     # clamp: a dataset smaller than the batch would make the
     # drop_remainder iterator yield zero batches every epoch
     batch_size = min(cfg.batch_size, max(1, len(train_ds)))
@@ -212,11 +226,11 @@ def run_training(cfg: ExperimentConfig) -> dict:
             epoch_start = jax.tree.map(jnp.copy, (state.params,
                                                   state.opt_state,
                                                   state.batch_stats))
-        it = data_iterator(train_ds, batch_size=batch_size,
+        it = data_iterator(train_feed, batch_size=batch_size,
                            seed=cfg.seed + epoch, epochs=1)
         m = None
         nonfinite = jnp.zeros((), bool)
-        for batch in device_prefetch(it, train_ds.mean, train_ds.std,
+        for batch in device_prefetch(it, train_feed.mean, train_feed.std,
                                      sharding=batch_shardings):
             state, m = train_step(state, batch, rng)
             # OR-accumulated on device across EVERY step (a transient +/-inf

@@ -1,0 +1,39 @@
+"""CLI-level test of the on-device relocalization service (cli/serve.py):
+database build + batched query serving on a synthetic raw scene."""
+
+import os.path as osp
+import sys
+
+import numpy as np
+
+from test_data import write_7scenes_fixture
+
+sys.path.insert(0, osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                            "cli"))
+import serve  # noqa: E402  (cli/serve.py)
+
+
+class TestServeCLI:
+    def test_end_to_end_smoke(self, tmp_path, capsys):
+        raw = str(tmp_path / "raw")
+        write_7scenes_fixture(raw, scene="chess", n_seqs=2, n_frames=4,
+                              train=True, size=(40, 32))
+        write_7scenes_fixture(raw, scene="chess", n_seqs=1, n_frames=4,
+                              train=False, size=(40, 32))
+        out = str(tmp_path / "poses.npz")
+        err = serve.main([
+            "--dataset", "7Scenes", "--scene", "chess",
+            "--data-path", raw, "--seq-len", "4",
+            "--image-size", "32", "--batch-size", "4",
+            "--backbone", "resnet18", "--feat-dim", "32",
+            "--dtype", "float32", "--retrieval-hw", "24", "32",
+            "--netvlad-clusters", "4", "--deterministic",
+            "--out", out])
+        printed = capsys.readouterr().out
+        assert "building database" in printed and "q/s" in printed
+        assert np.isfinite(err.median_t) and np.isfinite(err.median_q)
+        z = np.load(out)
+        assert z["pose6"].shape[1] == 6 and len(z["pose6"]) > 0
+        # unit quaternions in the export
+        np.testing.assert_allclose(
+            np.linalg.norm(z["abs_q"], axis=1), 1.0, atol=1e-5)
