@@ -165,11 +165,15 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed)
     for i in range(0, len(q), args.batch_size):
         n = min(args.batch_size, len(q) - i)
-        batch = np.zeros((n, h, w, 3), np.float32)
+        # uint8 on the wire: 4x less host->device traffic; the service
+        # converts + normalizes on device (matches the packed stores'
+        # uint8 quantization, so serving == training data parity)
+        batch = np.zeros((n, h, w, 3), np.uint8)
         for j in range(n):
             img = q.load_image(i + j)
             if img is not None:
-                batch[j] = _fit(img, h, w)
+                batch[j] = np.round(
+                    np.clip(_fit(img, h, w), 0, 1) * 255).astype(np.uint8)
         rng, sub = jax.random.split(rng)
         t0 = time.perf_counter()
         out = svc.query(batch, model_norm, sub)

@@ -91,6 +91,15 @@ def device_prefetch(host_iter: Iterator[dict], mean: np.ndarray,
 
     Yields batches with `images` already normalized float32 on device.
     `sharding`: optional dict of key -> jax.sharding.Sharding for multi-chip.
+
+    Multi-chip note: with `sharding` set, the worker thread only does host
+    work + async transfers; the (jitted) normalize runs on the CONSUMER
+    thread.  Launching multi-device programs from two host threads at once
+    can starve XLA:CPU's collective rendezvous on low-core hosts (the
+    participant executions must co-schedule within a 40 s hard deadline —
+    rendezvous.cc aborts the process past it), and on real multi-chip it
+    serializes launch order, which keeps collective programs from
+    interleaving between threads.
     """
     normalize = make_normalizer(mean, std)
     q: queue.Queue = queue.Queue(maxsize=prefetch)
@@ -103,7 +112,8 @@ def device_prefetch(host_iter: Iterator[dict], mean: np.ndarray,
             if sharding is not None and k in sharding:
                 arr = jax.device_put(arr, sharding[k])
             out[k] = arr
-        out["images"] = normalize(out["images"])
+        if sharding is None:
+            out["images"] = normalize(out["images"])
         return out
 
     def worker():
@@ -119,4 +129,6 @@ def device_prefetch(host_iter: Iterator[dict], mean: np.ndarray,
         item = q.get()
         if item is _SENTINEL:
             break
+        if sharding is not None:
+            item["images"] = normalize(item["images"])
         yield item

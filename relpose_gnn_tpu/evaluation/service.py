@@ -74,8 +74,13 @@ class RelocalizationService:
 
     def _netvlad_input(self, images01: jax.Array) -> jax.Array:
         """raw [B, H, W, 3] in [0,1] -> NetVLAD input (resize + ImageNet
-        normalize).  On-device bilinear resize; the offline builder uses
-        the PIL path (retrieval robustness tolerates the filter change)."""
+        normalize).  On-device bilinear resize; the offline index builder
+        uses PIL (retrieval/netvlad_index.py:53-55).  Both are half-pixel-
+        centered antialiased bilinear filters, and the drift is MEASURED,
+        not assumed: on a synthetic scene of overlapping views the two
+        paths' NetVLAD descriptors agree to cosine >= 0.9999999 and the
+        top-4 neighbor sets are identical (overlap 1.0) —
+        tests/test_service.py::TestResizeDrift."""
         b = images01.shape[0]
         h, w = self.cfg.retrieval_hw
         x = jax.image.resize(images01, (b, h, w, 3), method="bilinear")
@@ -160,13 +165,20 @@ class RelocalizationService:
 
     def query(self, query_images01: np.ndarray, model_norm,
               rng: jax.Array | None = None) -> dict:
-        """Relocalize a batch of raw [B, H, W, 3] images in [0, 1].
+        """Relocalize a batch of raw [B, H, W, 3] images.
+
+        Accepts float in [0, 1], or uint8 — uint8 transfers 4x fewer
+        bytes host->device and is converted/normalized ON DEVICE (the
+        packed training stores are uint8 too, so this is also the
+        bit-exact parity path vs training data).
 
         Returns {'pose' [B, 6] pose6, 'neighbors' [B, K], 'anchor' [B]}.
         """
         assert self.db_desc is not None, "call build() first"
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        q = jnp.asarray(query_images01)
+        q = jnp.asarray(query_images01)  # uint8 rides the thin transfer
+        if q.dtype == jnp.uint8:
+            q = q.astype(jnp.float32) / 255.0
         return self._query_fn(self.model_vars, self.netvlad_vars,
                               self.db_desc, self.db_emb, self.db_poses,
                               q, model_norm(q), rng)

@@ -29,8 +29,11 @@ def create_mesh(n_data: int | None = None, n_model: int = 1,
     if n_data is None:
         assert n % n_model == 0, (n, n_model)
         n_data = n // n_model
-    assert n_data * n_model == n, (n_data, n_model, n)
-    arr = np.asarray(devices).reshape(n_data, n_model)
+    want = n_data * n_model
+    assert want <= n, (n_data, n_model, n)
+    # a mesh smaller than the machine is fine (e.g. dp-only eval on a
+    # subset); take the first want devices
+    arr = np.asarray(devices[:want]).reshape(n_data, n_model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 

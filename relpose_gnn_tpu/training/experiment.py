@@ -129,15 +129,33 @@ def pose_stats(cfg: ExperimentConfig):
 
 
 def evaluate_scene(eval_step, state, ds: PackedGraphDataset,
-                   batch_size: int, mean_t, std_t):
+                   batch_size: int, mean_t, std_t, sharding=None,
+                   pad_multiple: int = 1):
+    """Batched whole-scene eval.  With `sharding` (multi-chip), the ragged
+    final batch is padded to `pad_multiple` (the mesh data-axis size) by
+    repeating its last graph so every batch's leading dim divides the data
+    axis; the padding rows are sliced off the concatenated output."""
     it = data_iterator(ds, batch_size=batch_size, shuffle=False, epochs=1,
                        drop_remainder=False)
+
+    def padded(batches):
+        for batch in batches:
+            n = len(next(iter(batch.values())))
+            pad = (-n) % pad_multiple
+            if pad:
+                batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, 0)])
+                         for k, v in batch.items()}
+            yield batch
+
     preds, targs = [], []
-    for batch in device_prefetch(it, ds.mean, ds.std):
+    for batch in device_prefetch(padded(it), ds.mean, ds.std,
+                                 sharding=sharding):
         out = eval_step(state, batch)
         preds.append(np.asarray(out["pred"]))
         targs.append(np.asarray(out["target"]))
-    return compute_pose_errors(np.concatenate(preds), np.concatenate(targs),
+    preds = np.concatenate(preds)[:len(ds)]
+    targs = np.concatenate(targs)[:len(ds)]
+    return compute_pose_errors(preds, targs,
                                pose_mean=mean_t, pose_std=std_t)
 
 
@@ -154,10 +172,15 @@ def run_training(cfg: ExperimentConfig) -> dict:
     from relpose_gnn_tpu.data import native_io
     if native_io.available():
         try:
+            import os
             roots = [dataset_root(cfg.train_data_dir, s, cfg.dataset,
                                   "train", cfg.seq_len)
                      for s in scene_lists(cfg)[0]]
-            train_feed = native_io.NativeConcatDataset(roots)
+            # gather-thread count sized to the host: extra memcpy threads
+            # on a low-core box contend with XLA's execution pool (and on
+            # CPU meshes can delay collective rendezvous participants)
+            train_feed = native_io.NativeConcatDataset(
+                roots, threads=max(1, min(4, (os.cpu_count() or 1) - 1)))
             logger.info("training feed: native C++ graphio")
         except Exception as exc:  # pragma: no cover - env-dependent
             logger.warning("native feed unavailable (%s); numpy path", exc)
@@ -214,6 +237,8 @@ def run_training(cfg: ExperimentConfig) -> dict:
             "adj": batch_sharding(mesh, 3)}
         logger.info("mesh training: %s",
                     dict(zip(mesh.axis_names, mesh.devices.shape)))
+    sync_steps = (batch_shardings is not None
+                  and jax.default_backend() == "cpu")
 
     train_step = make_train_step(tcfg)
     eval_step = make_eval_step(ref_node=0)
@@ -237,6 +262,14 @@ def run_training(cfg: ExperimentConfig) -> dict:
             # mid-epoch must trigger the rollback even if later steps
             # recover); one host read per epoch below
             nonfinite = nonfinite | ~jnp.isfinite(m["loss"])
+            if sync_steps:
+                # CPU virtual meshes only: cap in-flight sharded steps at
+                # one.  XLA:CPU's collective rendezvous hard-aborts the
+                # process if a program's participants can't co-schedule
+                # within 40 s (rendezvous.cc), and a pile-up of async-
+                # dispatched collective programs on a low-core host can
+                # starve it past that.  Real TPU meshes keep async dispatch.
+                jax.block_until_ready(m["loss"])
         if m is None:
             logger.warning("[epoch %04d] iterator yielded no batches — "
                            "skipping epoch", epoch)
@@ -301,6 +334,24 @@ def run_eval(cfg: ExperimentConfig, weights: str | None = None,
         static_anchor = first_edge_anchor(fc_edge_index(cfg.seq_len))
     eval_step = make_eval_step(ref_node=0, static_anchor=static_anchor)
     mean_t, std_t = pose_stats(cfg)
+
+    # optional multi-chip eval: params replicated, batch sharded over
+    # `data`; ragged final batches are padded to the data-axis size in
+    # evaluate_scene (the serving-path branch below is single-chip)
+    eval_shardings, pad_multiple = None, 1
+    if cfg.mesh_data > 0:
+        from relpose_gnn_tpu.parallel.mesh import create_mesh
+        from relpose_gnn_tpu.parallel.sharding import (batch_sharding,
+                                                       replicate)
+        mesh = create_mesh(n_data=cfg.mesh_data, n_model=cfg.mesh_model)
+        state = jax.device_put(state, replicate(mesh))
+        eval_shardings = {"images": batch_sharding(mesh, 5),
+                          "poses": batch_sharding(mesh, 3),
+                          "adj": batch_sharding(mesh, 3)}
+        pad_multiple = cfg.mesh_data
+        logger.info("mesh eval: %s",
+                    dict(zip(mesh.axis_names, mesh.devices.shape)))
+
     results = {}
     for s, ds in test_ds.items():
         if serving_data_path is not None and ds.nbr_idx is not None:
@@ -308,7 +359,8 @@ def run_eval(cfg: ExperimentConfig, weights: str | None = None,
                                           serving_data_path, mean_t, std_t)
         else:
             err = evaluate_scene(eval_step, state, ds, cfg.batch_size,
-                                 mean_t, std_t)
+                                 mean_t, std_t, sharding=eval_shardings,
+                                 pad_multiple=pad_multiple)
         logger.info("[scene %s] %s", s, err)
         if save_predictions:
             save_poses(str(logdir), s, err, rel_paths=ds.rel_paths)

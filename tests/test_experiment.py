@@ -202,3 +202,21 @@ class TestMeshTraining:
         import jax
         leaves = jax.tree.leaves(out["state"].params["model"])
         assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+
+
+class TestMeshEval:
+    def test_run_eval_on_mesh_matches_single_device(self, experiment_dirs,
+                                                    tmp_path):
+        """run_eval honors mesh_data: params replicated, batches sharded
+        over `data`, ragged tails padded to the data-axis size — and the
+        medians match the single-device eval exactly."""
+        root, raw, graphs = experiment_dirs
+        cfg1 = tiny_cfg(graphs, save_dir=str(tmp_path / "m0"), batch_size=3)
+        single = run_eval(cfg1, save_predictions=False)["chess"]
+        # batch_size=3 with a 4-device data axis forces BOTH kinds of
+        # padding: full batches (3 -> 4) and the ragged tail (1 -> 4)
+        cfg2 = tiny_cfg(graphs, save_dir=str(tmp_path / "m1"), batch_size=3,
+                        mesh_data=4, mesh_model=1)
+        meshed = run_eval(cfg2, save_predictions=False)["chess"]
+        assert abs(single.median_t - meshed.median_t) < 1e-5
+        assert abs(single.median_q - meshed.median_q) < 1e-5

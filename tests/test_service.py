@@ -75,6 +75,24 @@ class TestRelocalizationService:
             for s in range(6)}
         assert len(sets) > 1  # stochastic drop/offset varies the graph
 
+    def test_uint8_query_bitwise_matches_quantized_float(self):
+        """uint8 queries ride a 4x-thinner H2D transfer and are converted
+        on device; the result must be bit-identical to sending the same
+        quantized values as float."""
+        svc = build_service(deterministic=True)
+        rng = np.random.default_rng(4)
+        db = rng.random((10, 32, 40, 3)).astype(np.float32)
+        db_poses = rng.normal(size=(10, 6)).astype(np.float32)
+        svc.build(db, db_poses, model_norm, batch=4)
+        q8 = rng.integers(0, 256, size=(2, 32, 40, 3)).astype(np.uint8)
+        qf = q8.astype(np.float32) / 255.0
+        o8 = svc.query(q8, model_norm, jax.random.PRNGKey(0))
+        of = svc.query(qf, model_norm, jax.random.PRNGKey(0))
+        np.testing.assert_array_equal(np.asarray(o8["pose"]),
+                                      np.asarray(of["pose"]))
+        np.testing.assert_array_equal(np.asarray(o8["neighbors"]),
+                                      np.asarray(of["neighbors"]))
+
     def test_perfect_rel_predictions_would_recover_pose(self):
         """Service math check: with pred_rel == p_s - p_t the recovered
         pose equals the anchor's pose minus the true difference == query
@@ -85,3 +103,67 @@ class TestRelocalizationService:
         query = poses[0]
         rp = anchor - query
         np.testing.assert_allclose(anchor - rp, query, atol=1e-12)
+
+
+class TestResizeDrift:
+    def test_neighbor_overlap_pil_vs_jax_resize(self):
+        """Quantify VERDICT's 'resize drift': the offline index builder
+        resizes with PIL (retrieval/netvlad_index.py:53-55) while the
+        on-device service uses jax.image.resize bilinear
+        (service.py:_netvlad_input).  Both use half-pixel centers and
+        antialias on downscale, so descriptors should land on (nearly)
+        identical neighbor sets.  This measures top-k overlap on a
+        synthetic scene of overlapping views; the measured number is
+        documented in evaluation/service.py.
+        """
+        from PIL import Image
+        from scipy.ndimage import gaussian_filter
+
+        from relpose_gnn_tpu.retrieval.netvlad_index import (
+            IMAGENET_MEAN, IMAGENET_STD, imagenet_normalize)
+
+        rng = np.random.default_rng(0)
+        # smooth 'scene' field; frames = sliding crops (overlapping views)
+        field = gaussian_filter(rng.normal(size=(200, 270, 3)),
+                                sigma=(7, 7, 0))
+        field = (field - field.min()) / (field.max() - field.min())
+        h, w, m = 96, 128, 24
+        frames = np.stack([field[3 * i:3 * i + h, 4 * i:4 * i + w]
+                           for i in range(m)]).astype(np.float32)
+        hw = (48, 64)
+
+        def pil_resize(img01):
+            # offline builder path: uint8 quantize (decoded images) + PIL
+            pil = Image.fromarray((np.clip(img01, 0, 1) * 255)
+                                  .astype(np.uint8))
+            return np.asarray(pil.resize((hw[1], hw[0]), Image.BILINEAR),
+                              np.float32) / 255.0
+
+        db_in = imagenet_normalize(np.stack([pil_resize(f) for f in frames]))
+        srv = jax.image.resize(jnp.asarray(frames), (m, *hw, 3), "bilinear")
+        srv_in = (np.asarray(srv) - IMAGENET_MEAN) / IMAGENET_STD
+
+        from relpose_gnn_tpu.models.netvlad import NetVLADEncoder
+        enc = NetVLADEncoder(num_clusters=8)
+        v = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, *hw, 3)))
+        d_db = np.asarray(enc.apply(v, jnp.asarray(db_in)), np.float64)
+        d_srv = np.asarray(enc.apply(v, jnp.asarray(srv_in)), np.float64)
+
+        # raw descriptor agreement between the two resize paths
+        cos_self = np.sum(d_db * d_srv, axis=1)  # both L2-normalized
+        assert cos_self.min() > 0.99, cos_self.min()
+
+        # DB embedded offline (PIL); queries arrive through the service
+        k = 4
+        sim_ref = d_db @ d_db.T
+        sim_srv = d_srv @ d_db.T
+        np.fill_diagonal(sim_ref, -np.inf)  # exclude self-match
+        np.fill_diagonal(sim_srv, -np.inf)
+        top_ref = np.argsort(-sim_ref, axis=1)[:, :k]
+        top_srv = np.argsort(-sim_srv, axis=1)[:, :k]
+        overlap = np.mean([len(set(a) & set(b)) / k
+                           for a, b in zip(top_ref, top_srv)])
+        # measured 2026-08: overlap = 1.0 (identical top-4 sets) with
+        # min descriptor cosine ~0.999; threshold leaves slack for BLAS
+        # variation across hosts
+        assert overlap >= 0.9, overlap
