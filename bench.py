@@ -16,12 +16,14 @@ on 8-node graphs, dynamic kNN-4, absolute-pose recovery) end to end:
     bf16 the check tolerates a flipped near-tie anchor choice).
 
 Timing discipline (the attached TPU is reached through an async tunnel):
-every iteration consumes a *distinct* input (derived on device — defeats
-any serving-layer result caching) and every iteration's output is folded
-into one scalar accumulator whose single device-to-host read at the end
-cannot complete before all chained executions have — so asynchronous
-dispatch cannot fake throughput.  The tunnel round-trip (measured) is
-subtracted once.
+every iteration (on BOTH legs) takes a per-iteration `salt` scalar and
+derives distinct input pixels inside the jitted step (one fused multiply,
+~free) — no two executions in a run are identical, so no result-caching
+layer between host and chip can serve repeats — and every measured-leg
+output is folded into one scalar accumulator whose single device-to-host
+read at the end cannot complete before all chained executions have — so
+asynchronous dispatch cannot fake throughput.  The tunnel round-trip
+(measured) is subtracted once.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} where
 vs_baseline is the speedup of the batched TPU-native path over the
@@ -29,10 +31,11 @@ reference-protocol leg on identical hardware (the reference publishes no
 throughput numbers of its own, BASELINE.md).  Honest-reporting note: the
 baseline leg's per-query sync inherits this setup's ~30 ms tunnel RTT,
 which is larger than a local PCIe sync; `vs_baseline_est_local` therefore
-ALSO reports the ratio with the measured RTT subtracted from every
-baseline query — the estimate for directly-attached hardware — and that
-smaller number is the honest cross-setup claim.  The measured leg's
-absolute q/s is RTT-free either way.
+ALSO reports the RTT-free ratio — batched throughput over the bs=1
+program's pure device rate (chained-accumulator timing) — which LOWER-
+bounds the protocol gap on directly-attached hardware (a real local sync
+would only slow the baseline further).  The measured leg's absolute q/s
+is RTT-free either way.
 
 `mfu` = achieved FLOP/s over the chip's dense bf16 peak, with the
 serving step's FLOP count taken from XLA's own compiled cost analysis
@@ -92,13 +95,14 @@ def measure_rtt() -> float:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch-size", type=int, default=256)
-    ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--baseline-iters", type=int, default=12)
+    ap.add_argument("--iters", type=int, default=30,
+                    help="measured-leg iterations; enough to amortize the "
+                         "tunnel's per-launch dispatch cost (~5 ms at 10 "
+                         "iters, measured)")
+    ap.add_argument("--baseline-iters", type=int, default=20)
     ap.add_argument("--height", type=int, default=256)
     ap.add_argument("--width", type=int, default=341)
     ap.add_argument("--nodes", type=int, default=8)
-    ap.add_argument("--pool", type=int, default=2,
-                    help="distinct device-resident input batches to cycle")
     ap.add_argument("--dtype", type=str, default="bfloat16",
                     choices=("bfloat16", "float32"))
     args = ap.parse_args()
@@ -113,7 +117,10 @@ def main():
     n, h, w = args.nodes, args.height, args.width
 
     @jax.jit
-    def eval_fn(variables, images, adj, poses):
+    def eval_fn(variables, images, adj, poses, salt):
+        # `salt` makes every execution's inputs distinct (fused multiply,
+        # ~free) so no caching layer can serve repeats
+        images = images * (1.0 + 1e-4 * salt)
         _, pred_rel, _, aux = model.apply(variables, images, adj,
                                           train=False)
         nbr = graph_ops.nearest_neighbor(aux["node_feats"], node=0)
@@ -125,28 +132,41 @@ def main():
     def make_inputs(batch):
         key = jax.random.PRNGKey(batch)
         base = jax.random.normal(key, (batch, n, h, w, 3), jnp.float32)
-        pool = [base * (1.0 + 0.01 * i) for i in range(args.pool)]
         poses = jax.random.normal(key, (batch, n, 6), jnp.float32)
         adj = jnp.asarray(np.broadcast_to(graph_ops.fc_adjacency(n),
                                           (batch, n, n)).copy())
-        return pool, adj, poses
+        return base, adj, poses
 
-    pool1, adj1, poses1 = make_inputs(1)
-    variables = model.init({"params": jax.random.PRNGKey(0)}, pool1[0],
+    img1, adj1, poses1 = make_inputs(1)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, img1,
                            adj1, train=False)
 
     # --- baseline leg: reference protocol (bs=1, D2H sync per query,
-    # all 8 node images re-encoded per query) ----------------------------
-    np.asarray(eval_fn(variables, pool1[0], adj1, poses1))  # compile
+    # all 8 node images re-encoded per query); the salt makes every
+    # query's pixels distinct -------------------------------------------
+    np.asarray(eval_fn(variables, img1, adj1, poses1, 0.0))  # compile
     t0 = time.perf_counter()
     for i in range(args.baseline_iters):
-        np.asarray(eval_fn(variables, pool1[i % args.pool], adj1, poses1))
+        np.asarray(eval_fn(variables, img1, adj1, poses1, float(i + 1)))
     dt_base = time.perf_counter() - t0
     qps_ref_protocol = args.baseline_iters / dt_base
-    # directly-attached estimate: every baseline query pays one D2H sync;
-    # subtract the measured tunnel RTT from each to estimate the protocol
-    # gap on local hardware (the honest cross-setup number)
-    dt_base_local = max(dt_base - args.baseline_iters * rtt, 1e-9)
+
+    # directly-attached estimate: the per-query host sync above inherits
+    # the tunnel RTT, so ALSO measure the bs=1 program's pure device time
+    # (chained accumulator, one fence) — on local hardware the reference
+    # protocol could at best hit 1/that, so the ratio below is a LOWER
+    # bound on the true protocol gap there
+    def chained_bs1(iters, base):
+        acc = jnp.zeros(())
+        for i in range(iters):
+            acc = acc + jnp.sum(eval_fn(variables, img1, adj1, poses1,
+                                        float(base + i)))
+        float(acc)
+
+    chained_bs1(2, 90)  # warm the accumulator chain (measured one-time cost)
+    t0 = time.perf_counter()
+    chained_bs1(args.baseline_iters, 100)
+    dt_base_local = max(time.perf_counter() - t0 - rtt, 1e-9)
     qps_ref_local = args.baseline_iters / dt_base_local
 
     # --- measured leg: batched serving with cached neighbor embeddings
@@ -179,8 +199,8 @@ def main():
         return (poses[jnp.arange(b), nbr]
                 - pred_rel[jnp.arange(b), nbr, 0], nbr)
 
-    fp, fnbr = full_eval1(variables, pool1[0], adj1, poses1)
-    q1, emb1 = split_graph(pool1[0])
+    fp, fnbr = full_eval1(variables, img1, adj1, poses1)
+    q1, emb1 = split_graph(img1)
     c1 = cached_step(fvars, q1, emb1, poses1[:, 1:], adj1)
     if int(fnbr[0]) == int(c1["nbr"][0]):
         # folded-vs-unfolded bf16 rounding differs slightly; exact-equality
@@ -188,27 +208,47 @@ def main():
         err = float(jnp.abs(fp - c1["pred"]).max())
         assert err < 0.1, f"cached serving diverged: {err}"
 
-    pool, adj, poses = make_inputs(args.batch_size)
-    q_pool = [split_graph(img) for img in pool]
+    # measured-leg inputs built directly at serving shape (query pixels +
+    # cached neighbor embeddings) — the full [B, N, H, W, 3] graph tensor
+    # is never materialized, so large batches fit HBM
+    bsz = args.batch_size
+    kq, ke, kp = jax.random.split(jax.random.PRNGKey(7), 3)
+    q_base = jax.random.normal(kq, (bsz, h, w, 3), jnp.float32)
+    emb = jax.random.normal(ke, (bsz, n - 1, emb1.shape[-1]), jnp.float32)
+    poses = jax.random.normal(kp, (bsz, n, 6), jnp.float32)
     nbr_poses = poses[:, 1:]
-    # warm/compile the serving step at the measured batch
-    float(jnp.sum(cached_step(fvars, q_pool[0][0], q_pool[0][1],
-                              nbr_poses, adj)["pred"]))
+    adj = jnp.asarray(np.broadcast_to(graph_ops.fc_adjacency(n),
+                                      (bsz, n, n)).copy())
+
+    @jax.jit
+    def timed_step(fvars, q, emb, nbr_poses, adj, salt):
+        # distinct pixels every execution (fused multiply) — defeats any
+        # result caching between this host and the chip
+        q = q * (1.0 + 1e-4 * salt)
+        return jnp.sum(cached_step(fvars, q, emb, nbr_poses, adj)["pred"])
+
+    # warm/compile the serving step at the measured batch, INCLUDING the
+    # accumulator-add pattern used in the timed loop (its first chained
+    # execution pays a measurable one-time cost through the tunnel)
+    acc = jnp.zeros(())
+    for i in range(2):
+        acc = acc + timed_step(fvars, q_base, emb, nbr_poses, adj,
+                               float(i))
+    float(acc)
 
     t0 = time.perf_counter()
     acc = jnp.zeros(())
     for i in range(args.iters):
-        q, emb = q_pool[i % args.pool]
-        acc = acc + jnp.sum(cached_step(fvars, q, emb, nbr_poses,
-                                        adj)["pred"])
+        acc = acc + timed_step(fvars, q_base, emb, nbr_poses, adj,
+                               float(i + 1))
     float(acc)  # one D2H that waits on every chained execution
     dt = max(time.perf_counter() - t0 - rtt, 1e-9)
     qps = args.batch_size * args.iters / dt
 
     # MFU: XLA's own FLOP count for one serving step (backbone on the query
     # + gathered-embedding GNN), achieved-over-peak on this chip
-    step_flops = compiled_flops(cached_step, fvars, q_pool[0][0],
-                                q_pool[0][1], nbr_poses, adj)
+    step_flops = compiled_flops(timed_step, fvars, q_base, emb, nbr_poses,
+                                adj, 0.0)
     mfu = (step_flops * args.iters / dt) / chip_peak_flops()
 
     print(json.dumps({

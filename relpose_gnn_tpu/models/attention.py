@@ -36,6 +36,7 @@ import flax.linen as nn
 class AttentionBlock(nn.Module):
     in_channels: int
     dtype: Any = None  # compute dtype; params stay fp32
+    use_pallas: bool | None = None  # None = auto (TPU + lane-aligned C/8)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -44,7 +45,22 @@ class AttentionBlock(nn.Module):
         theta_x = nn.Dense(c8, dtype=self.dtype, name="theta")(x)
         phi_x = nn.Dense(c8, dtype=self.dtype, name="phi")(x)
         # f = phi_x @ theta_x^T with both viewed as [.., C/8, 1] (att.py:20-25)
-        f = phi_x[..., :, None] * theta_x[..., None, :]
-        w = jax.nn.softmax(f, axis=-1)  # rows over theta-index j (att.py:26)
-        y = jnp.einsum("...ij,...j->...i", w, g_x)
+        # then row-softmax over j and mixing of g (att.py:26-28).  On TPU
+        # the [.., C/8, C/8] logits are pure HBM waste (three consumers, so
+        # XLA materializes them); the fused Pallas core keeps them in VMEM
+        # (ops/att_pallas.py, measured ~23x on the production shape).
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = (jax.default_backend() == "tpu" and c8 % 128 == 0)
+        if use_pallas:
+            from relpose_gnn_tpu.ops.att_pallas import attention_core
+            lead = phi_x.shape[:-1]
+            y = attention_core(phi_x.reshape(-1, c8),
+                               theta_x.reshape(-1, c8),
+                               g_x.reshape(-1, c8))
+            y = y.reshape(*lead, c8).astype(g_x.dtype)
+        else:
+            f = phi_x[..., :, None] * theta_x[..., None, :]
+            w = jax.nn.softmax(f, axis=-1)  # rows over j (att.py:26)
+            y = jnp.einsum("...ij,...j->...i", w, g_x)
         return x + nn.Dense(self.in_channels, dtype=self.dtype, name="W")(y)

@@ -1,0 +1,101 @@
+"""Pallas TPU kernel: fused rank-1 bottleneck-attention core.
+
+The reference `AttentionBlock` (modules/att.py:7-34) — applied to EVERY
+GNN message by the production layer `simpleConvEdge_upt`
+(my_gnn_layer.py:304-307) — computes, per item,
+
+    f[i, j] = phi_i * theta_j          # rank-1 outer product, [C, C]
+    y[i]    = sum_j softmax_j(f[i, :]) * g[j]
+
+At the production config (B=256 graphs, N=8 nodes -> E = 16384 items,
+C = 2048/8 = 256) the logit tensor is [E, 256, 256]: XLA materializes it
+in HBM between the outer product, the two softmax reductions and the
+weighted sum — ~4-17 GB of traffic for an op whose USEFUL inputs and
+outputs are [E, 256] (67 MB).  The op is pure bandwidth waste, and
+because the logits have three consumers XLA will not fuse it away.
+
+This kernel streams E in tiles and keeps the [T, C, C] logits entirely
+in VMEM: HBM traffic collapses to the [E, C] inputs/outputs and the op
+becomes VPU-bound (exp + multiplies).
+
+MEASURED (v5e, E=16384, C=256 — the production serving batch; 40-iter
+chained-accumulator protocol, benchmarks/bench_att_pallas.py):
+    XLA f32  (materialized logits) : 18.7 ms
+    XLA bf16                       : 18.1 ms   (still logit-traffic bound)
+    this kernel (block_e=8 or 16)  :  6.3 ms   -> ~3x, now VPU/exp-bound
+In the composed GNN layer the difference is larger (attention interleaves
+with matmuls): the serving-path GNN dropped 53.8 -> 13.1 ms with this
+kernel + the split-weight PairMLP2, lifting end-to-end serving from
+~3300 to ~6970 q/s (bench.py, MFU 0.33 -> 0.61).  A bf16-compute variant
+was tried and REJECTED: Mosaic cannot insert a minor dim on 16-bit types
+('tpu.reshape vector<8x256xbf16> -> 8x256x1' unsupported), and the f32
+kernel is already past the logit-bandwidth wall.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(phi_ref, theta_ref, g_ref, y_ref):
+    phi = phi_ref[:].astype(jnp.float32)      # [T, C]
+    theta = theta_ref[:].astype(jnp.float32)  # [T, C]
+    g = g_ref[:].astype(jnp.float32)          # [T, C]
+    # rank-1 logits for the tile, VMEM-resident only
+    f = phi[:, :, None] * theta[:, None, :]   # [T, C, C]
+    m = jnp.max(f, axis=-1, keepdims=True)
+    w = jnp.exp(f - m)                        # [T, C, C]
+    z = jnp.sum(w, axis=-1)                   # [T, C]
+    y = jnp.sum(w * g[:, None, :], axis=-1)   # [T, C]
+    y_ref[:] = y / z
+
+
+@functools.partial(jax.jit, static_argnames=("block_e", "interpret"))
+def attention_core(phi: jax.Array, theta: jax.Array, g: jax.Array,
+                   block_e: int = 16, interpret: bool = False) -> jax.Array:
+    """y[t, i] = sum_j softmax_j(phi[t, i] * theta[t, j]) * g[t, j].
+
+    phi, theta, g: [E, C] (any float dtype; compute is f32).
+    Returns float32 [E, C].  E is padded to a multiple of `block_e`
+    internally; C must be a multiple of 128 (lane width).
+    """
+    e_total, c = phi.shape
+    pad = (-e_total) % block_e
+    if pad:
+        # zero-padded rows are safe: f = 0 -> z = C (finite), y = 0
+        phi = jnp.pad(phi, ((0, pad), (0, 0)))
+        theta = jnp.pad(theta, ((0, pad), (0, 0)))
+        g = jnp.pad(g, ((0, pad), (0, 0)))
+    n_e = e_total + pad
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=(n_e // block_e,),
+        in_specs=[pl.BlockSpec((block_e, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec((block_e, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_e, c), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * n_e * c * c,
+            bytes_accessed=4 * n_e * c * 4,
+            transcendentals=n_e * c * c),
+        interpret=interpret,
+    )(phi, theta, g)
+    return out[:e_total]
+
+
+def attention_core_xla(phi: jax.Array, theta: jax.Array,
+                       g: jax.Array) -> jax.Array:
+    """Reference XLA formulation (materializes the [E, C, C] logits);
+    used on non-TPU backends and as the kernel's parity oracle."""
+    f = phi[..., :, None] * theta[..., None, :]
+    w = jax.nn.softmax(f, axis=-1)
+    return jnp.einsum("...ij,...j->...i", w, g)

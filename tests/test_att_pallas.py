@@ -1,0 +1,57 @@
+"""Fused attention-core kernel: parity vs the XLA formulation."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from relpose_gnn_tpu.ops.att_pallas import attention_core, attention_core_xla
+
+
+class TestAttentionCore:
+    @pytest.mark.parametrize("e,c", [(32, 128), (40, 256)])
+    def test_matches_xla_formulation(self, e, c):
+        """Kernel (interpret mode on CPU) == materialized-logits XLA path,
+        including E not divisible by the tile (padding path)."""
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+        phi = jax.random.normal(k1, (e, c), jnp.float32)
+        theta = jax.random.normal(k2, (e, c), jnp.float32)
+        g = jax.random.normal(k3, (e, c), jnp.float32)
+        got = attention_core(phi, theta, g, block_e=16, interpret=True)
+        want = attention_core_xla(phi, theta, g)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_attention_block_auto_uses_xla_on_cpu(self):
+        """On the CPU backend the module keeps the XLA path (auto mode),
+        and forcing use_pallas=False is identical to auto."""
+        from relpose_gnn_tpu.models.attention import AttentionBlock
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 3, 1024))
+        blk_auto = AttentionBlock(1024)
+        v = blk_auto.init(jax.random.PRNGKey(2), x)
+        y_auto = blk_auto.apply(v, x)
+        y_xla = AttentionBlock(1024, use_pallas=False).apply(v, x)
+        np.testing.assert_array_equal(np.asarray(y_auto), np.asarray(y_xla))
+
+    def test_attention_block_pallas_interpret_matches(self):
+        """Force the pallas path (interpret) through the flax module via
+        monkeypatching the backend check is brittle; instead compare the
+        module's XLA output against manually running the kernel on the
+        module's projections."""
+        from relpose_gnn_tpu.models.attention import AttentionBlock
+        import flax.linen as nn
+
+        c = 1024
+        x = jax.random.normal(jax.random.PRNGKey(3), (6, c))
+        blk = AttentionBlock(c)
+        v = blk.init(jax.random.PRNGKey(4), x)
+        y_mod = blk.apply(v, x)
+
+        dense = lambda name: nn.Dense(  # noqa: E731
+            c // 8, name=name).bind({"params": v["params"][name]})
+        phi, theta, g = (dense("phi")(x), dense("theta")(x), dense("g")(x))
+        y_core = attention_core(phi, theta, g, block_e=8, interpret=True)
+        w_out = nn.Dense(c, name="W").bind({"params": v["params"]["W"]})
+        y_manual = x + w_out(y_core.astype(x.dtype))
+        np.testing.assert_allclose(np.asarray(y_mod), np.asarray(y_manual),
+                                   rtol=1e-5, atol=1e-5)
