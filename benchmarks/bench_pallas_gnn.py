@@ -85,6 +85,21 @@ def main():
         return jnp.dot(h.astype(jnp.bfloat16), fc2k.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32) + fc2b
 
+    @jax.jit
+    def xla_split(x, e):
+        """Split-weight form (the production path, models/gnn.py::PairMLP2):
+        node slabs once per node + broadcast-add; fewer FLOPs, no concat."""
+        k = fc1k.astype(jnp.bfloat16)
+        xb, eb = x.astype(jnp.bfloat16), e.astype(jnp.bfloat16)
+        hs = jnp.dot(xb, k[:D])                       # [B, N, H]
+        ht = jnp.dot(xb, k[D:2 * D])
+        he = jnp.dot(eb, k[2 * D:])                   # [B, N, N, H]
+        h = jnp.maximum(
+            (hs[:, :, None] + ht[:, None, :] + he).astype(jnp.float32)
+            + fc1b, 0)
+        return jnp.dot(h.astype(jnp.bfloat16), fc2k.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32) + fc2b
+
     # correctness first: pallas vs XLA bf16 at these shapes
     out_p = pair_mlp_apply(*pool[0], fc1k, fc1b, fc2k, fc2b, mode="edge",
                            dtype=jnp.bfloat16)
@@ -108,18 +123,29 @@ def main():
         step = jax.jit(lambda x, e, be=be, bh=bh: jnp.sum(pair_mlp_apply(
             x, e, fc1k, fc1b, fc2k, fc2b, mode="edge", dtype=jnp.bfloat16,
             block_e=be, block_h=bh)))
-        t = bench(step, pool, args.iters, rtt)
+        try:
+            t = bench(step, pool, args.iters, rtt)
+        except Exception as exc:  # scoped-VMEM OOM at large tiles
+            print(f"pallas be={be:4d} bh={bh:4d}: FAILED "
+                  f"({str(exc).splitlines()[0][:90]})")
+            continue
         results[f"pallas be={be} bh={bh}"] = t
         print(f"pallas be={be:4d} bh={bh:4d}: {t:8.3f} ms  "
               f"{flops / t / 1e9:7.1f} TFLOP/s")
     xla_step = jax.jit(lambda x, e: jnp.sum(xla_ref(x, e)))
     t = bench(xla_step, pool, args.iters, rtt)
     results["xla bf16"] = t
-    print(f"xla bf16            : {t:8.3f} ms  {flops / t / 1e9:7.1f} TFLOP/s")
+    print(f"xla concat bf16     : {t:8.3f} ms  {flops / t / 1e9:7.1f} TFLOP/s")
+    split_step = jax.jit(lambda x, e: jnp.sum(xla_split(x, e)))
+    ts = bench(split_step, pool, args.iters, rtt)
+    results["xla split"] = ts
+    print(f"xla split-weight    : {ts:8.3f} ms  (concat-form FLOPs "
+          f"{flops / ts / 1e9:7.1f} TFLOP/s-equivalent)")
 
     best_p = min(v for k, v in results.items() if k.startswith("pallas"))
-    print(f"verdict: pallas best {best_p:.3f} ms vs xla {t:.3f} ms  "
-          f"({'PALLAS WINS' if best_p < t else 'XLA WINS'} at N={N})")
+    best_x = min(t, ts)
+    print(f"verdict: pallas best {best_p:.3f} ms vs xla best {best_x:.3f} ms"
+          f"  ({'PALLAS WINS' if best_p < best_x else 'XLA WINS'} at N={N})")
 
 
 if __name__ == "__main__":

@@ -19,15 +19,29 @@ This kernel:
 The aggregation/update stages stay in XLA (they are bandwidth-trivial at
 N=8 and fuse well).
 
-MEASURED STATUS (v5e, B=16 N=8 D=De=H=2048, bf16): XLA compiles the same op
-to ~1.1-1.9 ms (~20-30 TFLOP/s effective) while this kernel runs ~17-20 ms
-— at these shapes the op is launch/pipeline-bound, XLA's fused
-two-matmul schedule wins, and a weight-outer grid variant mis-accumulates
-on hardware (output blocks revisited across non-adjacent steps).  The
-production path therefore keeps the XLA formulation (models/gnn.py);
-this kernel is retained as the validated custom-op path (interpret-mode
-tested) for future tuning on larger graph configs where the [E, H] hidden
-(E = B*N^2) no longer fits cache-friendly XLA fusions.
+MEASURED STATUS — RETIRED from the production path after the round-2
+showdown (v5e, bf16, cache-proof salted inputs + chained accumulator,
+20 iters, tunnel RTT subtracted; benchmarks/bench_pallas_gnn.py).  The
+round-1 numbers (17-20 ms pallas vs 1.1-1.9 ms XLA) were distorted by
+per-launch tunnel dispatch (~5 ms/iter at 10 iters) and result caching
+of the repeated XLA executions; the honest table:
+
+    config                      pallas(best)   XLA concat   XLA split-wt
+    B=16 N=8  D=H=2048 (prod)      0.375 ms      0.450 ms     0.132 ms
+    B=16 N=32 D=H=2048 (stretch)   3.938 ms      3.271 ms     2.396 ms
+                                  (139.6 TF/s)  (168.1 TF/s)  (winner)
+
+So the kernel BEATS XLA's concat formulation at N=8 and runs a healthy
+139 TFLOP/s at N=32 — but the split-weight reformulation in
+models/gnn.py::PairMLP2 (node slabs hit the MXU once per node, only the
+edge operand pays per-pair FLOPs) dominates both at every measured
+config, because it deletes ~36% of the FLOPs rather than scheduling
+them better.  A weight-outer grid variant that mis-accumulated on
+hardware was deleted in round 1; block sizes >= (256, 512) at N=32
+exceed the 16 MB scoped-VMEM limit (measured, skipped by the bench).
+The kernel is retained as the validated interpret-tested custom-op path;
+the Pallas win on this model is the attention core (ops/att_pallas.py),
+where the op is HBM-bound and XLA cannot fuse.
 """
 
 from __future__ import annotations
