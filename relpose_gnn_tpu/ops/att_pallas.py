@@ -55,15 +55,8 @@ def _kernel(phi_ref, theta_ref, g_ref, y_ref):
     y_ref[:] = y / z
 
 
-@functools.partial(jax.jit, static_argnames=("block_e", "interpret"))
-def attention_core(phi: jax.Array, theta: jax.Array, g: jax.Array,
-                   block_e: int = 16, interpret: bool = False) -> jax.Array:
-    """y[t, i] = sum_j softmax_j(phi[t, i] * theta[t, j]) * g[t, j].
-
-    phi, theta, g: [E, C] (any float dtype; compute is f32).
-    Returns float32 [E, C].  E is padded to a multiple of `block_e`
-    internally; C must be a multiple of 128 (lane width).
-    """
+def _core_impl(phi: jax.Array, theta: jax.Array, g: jax.Array,
+               block_e: int, interpret: bool) -> jax.Array:
     e_total, c = phi.shape
     pad = (-e_total) % block_e
     if pad:
@@ -90,6 +83,56 @@ def attention_core(phi: jax.Array, theta: jax.Array, g: jax.Array,
         interpret=interpret,
     )(phi, theta, g)
     return out[:e_total]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _core(phi, theta, g, block_e, interpret):
+    return _core_impl(phi, theta, g, block_e, interpret)
+
+
+def _core_fwd(phi, theta, g, block_e, interpret):
+    y = _core_impl(phi, theta, g, block_e, interpret)
+    return y, (phi, theta, g, y)
+
+
+def _core_bwd(block_e, interpret, res, ybar):
+    """pallas_call has no autodiff rule, so training needs this VJP.
+
+    The backward recomputes the softmax weights in the plain XLA
+    formulation (materializing [E, C, C]) — fine at TRAINING batch sizes
+    (B<=16 graphs -> E ~ 1k pairs), while the Pallas forward keeps serving
+    fast.  Math: with w = softmax_j(f), f_ij = phi_i * theta_j,
+        dL/dg_j   = sum_i w_ij ybar_i
+        dL/df_ij  = ybar_i * w_ij * (g_j - y_i)
+        dL/dphi_i = sum_j dL/df_ij * theta_j ;  dL/dtheta_j analogous.
+    """
+    phi, theta, g, y = res
+    p32, t32, g32 = (a.astype(jnp.float32) for a in (phi, theta, g))
+    yb = ybar.astype(jnp.float32)
+    f = p32[:, :, None] * t32[:, None, :]
+    w = jax.nn.softmax(f, axis=-1)
+    gbar = jnp.einsum("eij,ei->ej", w, yb)
+    fbar = yb[:, :, None] * w * (g32[:, None, :] - y[:, :, None])
+    phibar = jnp.einsum("eij,ej->ei", fbar, t32)
+    thetabar = jnp.einsum("eij,ei->ej", fbar, p32)
+    return (phibar.astype(phi.dtype), thetabar.astype(theta.dtype),
+            gbar.astype(g.dtype))
+
+
+_core.defvjp(_core_fwd, _core_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("block_e", "interpret"))
+def attention_core(phi: jax.Array, theta: jax.Array, g: jax.Array,
+                   block_e: int = 16, interpret: bool = False) -> jax.Array:
+    """y[t, i] = sum_j softmax_j(phi[t, i] * theta[t, j]) * g[t, j].
+
+    phi, theta, g: [E, C] (any float dtype; compute is f32).
+    Returns float32 [E, C].  E is padded to a multiple of `block_e`
+    internally; C must be a multiple of 128 (lane width).  Differentiable
+    (custom VJP; backward uses the XLA formulation).
+    """
+    return _core(phi, theta, g, block_e, interpret)
 
 
 def attention_core_xla(phi: jax.Array, theta: jax.Array,

@@ -55,3 +55,26 @@ class TestAttentionCore:
         y_manual = x + w_out(y_core.astype(x.dtype))
         np.testing.assert_allclose(np.asarray(y_mod), np.asarray(y_manual),
                                    rtol=1e-5, atol=1e-5)
+
+    def test_custom_vjp_matches_xla_gradients(self):
+        """pallas_call has no autodiff rule; the custom VJP must match
+        jax.grad of the materialized-logits formulation (training path)."""
+        e, c = 24, 128
+        k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(5), 4)
+        phi = jax.random.normal(k1, (e, c), jnp.float32)
+        theta = jax.random.normal(k2, (e, c), jnp.float32)
+        g = jax.random.normal(k3, (e, c), jnp.float32)
+        w = jax.random.normal(k4, (e, c), jnp.float32)  # cotangent mixer
+
+        def loss_kernel(phi, theta, g):
+            return jnp.sum(attention_core(phi, theta, g, block_e=8,
+                                          interpret=True) * w)
+
+        def loss_xla(phi, theta, g):
+            return jnp.sum(attention_core_xla(phi, theta, g) * w)
+
+        gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(phi, theta, g)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(phi, theta, g)
+        for a, b in zip(gk, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
