@@ -52,7 +52,7 @@ def main():
         print(f"B={batch_size}: compiling...", flush=True)
         state, m = train_step(state, batch, rng)
         float(m["loss"])  # sync
-        iters = 8
+        iters = 20
         t0 = time.perf_counter()
         acc = jnp.zeros(())
         for _ in range(iters):

@@ -9,6 +9,16 @@ import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # override the session's axon setting
 
+# XLA:CPU hard-aborts the whole process when an all-reduce's participant
+# executions fail to co-schedule within 40 s (rendezvous.cc).  On a 1-core
+# host running an 8-device virtual mesh the participants time-slice one
+# core, so under load the deadline is flaky by construction — raise it.
+# Must be set before the backend initializes.
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_cpu_collective_call_terminate_timeout_seconds=900"
+    + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300")
+
 # make the suite runnable from any cwd (pytest /root/repo/tests ...)
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 for _p in (_REPO_ROOT, os.path.dirname(os.path.abspath(__file__))):
