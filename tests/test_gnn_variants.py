@@ -218,3 +218,52 @@ class TestEdgeModelAtt:
         want = AttentionBlock(d).apply({"params": v["params"]["att"]}, mid)
         np.testing.assert_allclose(np.asarray(out), np.asarray(want),
                                    atol=1e-5)
+
+
+class TestPairMLP2Equivalence:
+    def test_split_weight_equals_concat_form(self):
+        """PairMLP2 computes the SAME function as MLP2 on the concatenated
+        pair input — identical parameter trees, summation order the only
+        difference (f32 + highest precision: ~1e-6)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from relpose_gnn_tpu.models.gnn import MLP2, PairMLP2
+
+        b, n, d, de, hid, out = 2, 5, 16, 12, 24, 20
+        key = jax.random.PRNGKey(0)
+        kx, ke_, kp = jax.random.split(key, 3)
+        x = jax.random.normal(kx, (b, n, d))
+        e = jax.random.normal(ke_, (b, n, n, de))
+
+        pair = PairMLP2((d, d, de), hid, out)
+        vp = pair.init(kp, [(x, "s"), (x, "t"), (e, "e")])
+        y_split = pair.apply(vp, [(x, "s"), (x, "t"), (e, "e")])
+
+        # same params drive the concat-form module (identical tree)
+        mlp = MLP2(hid, out)
+        xs = jnp.broadcast_to(x[:, :, None, :], (b, n, n, d))
+        xt = jnp.broadcast_to(x[:, None, :, :], (b, n, n, d))
+        y_concat = mlp.apply(vp, jnp.concatenate([xs, xt, e], axis=-1))
+        np.testing.assert_allclose(np.asarray(y_split),
+                                   np.asarray(y_concat), rtol=2e-5,
+                                   atol=2e-5)
+
+    def test_param_tree_matches_mlp2(self):
+        """Checkpoint compatibility: identical param names and shapes."""
+        import jax
+        import jax.numpy as jnp
+        from relpose_gnn_tpu.models.gnn import MLP2, PairMLP2
+
+        d, de, hid, out = 8, 6, 10, 7
+        x = jnp.zeros((1, 3, d))
+        e = jnp.zeros((1, 3, 3, de))
+        vp = PairMLP2((d, d, de), hid, out).init(
+            jax.random.PRNGKey(0), [(x, "s"), (x, "t"), (e, "e")])
+        vm = MLP2(hid, out).init(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 2 * d + de)))
+        ps = jax.tree_util.tree_map(lambda a: a.shape, vp["params"])
+        ms = jax.tree_util.tree_map(lambda a: a.shape, vm["params"])
+        assert jax.tree_util.tree_structure(ps) == \
+            jax.tree_util.tree_structure(ms)
+        assert ps == ms
