@@ -60,10 +60,13 @@ def main():
     base = jax.random.uniform(key, (batch, h, w, 3), jnp.float32)
     pool = [base * (0.9 + 0.05 * i) for i in range(3)]
     print("compiling query path...", flush=True)
-    out = svc.query(pool[0], model_norm)
-    float(jnp.sum(out["pose"]))
+    acc = jnp.zeros(())
+    for i in range(2):  # warm the query path AND the accumulator chain
+        acc = acc + jnp.sum(svc.query(pool[i], model_norm,
+                                      jax.random.PRNGKey(90 + i))["pose"])
+    float(acc)
 
-    iters = 10
+    iters = 20
     t0 = time.perf_counter()
     acc = jnp.zeros(())
     for i in range(iters):

@@ -10,6 +10,7 @@ import sys as _sys
 
 _sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))
 
+import argparse
 import time
 
 import numpy as np
@@ -24,6 +25,11 @@ from relpose_gnn_tpu.training.trainer import (TrainerConfig,
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=str, default="8,16",
+                    help="comma list of batch sizes (one compile each, "
+                         "~4 min/compile through the tunnel)")
+    args = ap.parse_args()
     z = jnp.zeros(())
     float(z + 1.0)
     t0 = time.perf_counter()
@@ -37,7 +43,7 @@ def main():
     tcfg = TrainerConfig(steps_per_epoch=100)
     h, w, n = 256, 341, 8
 
-    for batch_size in (8, 16):
+    for batch_size in [int(b) for b in args.batches.split(",")]:
         key = jax.random.PRNGKey(batch_size)
         images = jax.random.normal(key, (batch_size, n, h, w, 3),
                                    jnp.float32)
@@ -52,6 +58,10 @@ def main():
         print(f"B={batch_size}: compiling...", flush=True)
         state, m = train_step(state, batch, rng)
         float(m["loss"])  # sync
+        # second warm step: the first chained execution after compile pays
+        # a one-time dispatch cost through the tunnel (see CLAUDE.md)
+        state, m = train_step(state, batch, rng)
+        float(m["loss"])
         iters = 20
         t0 = time.perf_counter()
         acc = jnp.zeros(())
