@@ -3,6 +3,15 @@ the synthetic pose-from-pixels task, reducing actual relocalization error.
 
 (The CPU test suite proves this on a tiny model; this script demonstrates
 the production config learning on hardware.)
+
+Measured (v5e): held-out median_t 1.68 -> 0.21 over 1000 steps (~99 s).
+Note the corrected per-message attention math (round-2 parity fix,
+ADVICE r1 #1) learns this task more slowly than round 1's erroneous
+identity-reduced attention did (which hit 0.61 by step 300): eval error
+rises transiently (~2.0 around step 300, mostly homoscedastic-weight
+calibration) before dropping. Same trajectory with the attention compute
+forced to the XLA path — the Pallas kernel + custom VJP is not a factor
+(A/B measured 2026-08).
 """
 
 import os.path as _osp
@@ -25,7 +34,7 @@ from relpose_gnn_tpu.training.trainer import (TrainerConfig,
                                               make_train_step)
 
 
-def main(steps: int = 300):
+def main(steps: int = 1000):
     cfg = RelPoseGNNConfig.preset("R3", dtype=jnp.bfloat16)
     model = RelPoseGNN(cfg)
     tcfg = TrainerConfig(lr=3e-4, steps_per_epoch=1000, weight_decay=0.0)

@@ -32,6 +32,11 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+# Session-wide override for modules constructed without an explicit
+# use_pallas (e.g. inside the GNN layers): None = auto (TPU + lane-aligned
+# bottleneck), True/False = force.  A/B escape hatch.
+USE_PALLAS_DEFAULT: bool | None = None
+
 
 class AttentionBlock(nn.Module):
     in_channels: int
@@ -50,6 +55,8 @@ class AttentionBlock(nn.Module):
         # XLA materializes them); the fused Pallas core keeps them in VMEM
         # (ops/att_pallas.py, measured ~23x on the production shape).
         use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = USE_PALLAS_DEFAULT
         if use_pallas is None:
             use_pallas = (jax.default_backend() == "tpu" and c8 % 128 == 0)
         if use_pallas:
