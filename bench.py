@@ -72,17 +72,6 @@ def chip_peak_flops() -> float:
     return 197e12  # conservative default: v5e
 
 
-def compiled_flops(jitted, *args) -> float:
-    """FLOP count of one execution from XLA's compiled cost analysis."""
-    try:
-        ca = jitted.lower(*args).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        return float(ca.get("flops", 0.0))
-    except Exception:
-        return 0.0
-
-
 def measure_rtt() -> float:
     z = jnp.zeros(())
     float(z + 1.0)
@@ -119,13 +108,17 @@ def main():
     @jax.jit
     def eval_fn(variables, images, adj, poses, salt):
         # `salt` makes every execution's inputs distinct (fused multiply,
-        # ~free) so no caching layer can serve repeats
+        # ~free) so no caching layer can serve repeats.  Returns (pred,
+        # anchor) so the same compiled program serves the baseline legs AND
+        # the cached-path self-check (one full-model compile, not two —
+        # compiles through the tunnel are ~60-90 s each).
         images = images * (1.0 + 1e-4 * salt)
         _, pred_rel, _, aux = model.apply(variables, images, adj,
                                           train=False)
         nbr = graph_ops.nearest_neighbor(aux["node_feats"], node=0)
         b = pred_rel.shape[0]
-        return poses[jnp.arange(b), nbr] - pred_rel[jnp.arange(b), nbr, 0]
+        return (poses[jnp.arange(b), nbr]
+                - pred_rel[jnp.arange(b), nbr, 0], nbr)
 
     rtt = measure_rtt()
 
@@ -144,10 +137,10 @@ def main():
     # --- baseline leg: reference protocol (bs=1, D2H sync per query,
     # all 8 node images re-encoded per query); the salt makes every
     # query's pixels distinct -------------------------------------------
-    np.asarray(eval_fn(variables, img1, adj1, poses1, 0.0))  # compile
+    np.asarray(eval_fn(variables, img1, adj1, poses1, 0.0)[0])  # compile
     t0 = time.perf_counter()
     for i in range(args.baseline_iters):
-        np.asarray(eval_fn(variables, img1, adj1, poses1, float(i + 1)))
+        np.asarray(eval_fn(variables, img1, adj1, poses1, float(i + 1))[0])
     dt_base = time.perf_counter() - t0
     qps_ref_protocol = args.baseline_iters / dt_base
 
@@ -160,14 +153,17 @@ def main():
         acc = jnp.zeros(())
         for i in range(iters):
             acc = acc + jnp.sum(eval_fn(variables, img1, adj1, poses1,
-                                        float(base + i)))
+                                        float(base + i))[0])
         float(acc)
 
     chained_bs1(2, 90)  # warm the accumulator chain (measured one-time cost)
+    # bs=1 device steps are ~7 ms, so extra iterations are cheap — use
+    # enough to keep this leg's run-to-run noise out of the ratio
+    local_iters = max(args.baseline_iters, 60)
     t0 = time.perf_counter()
-    chained_bs1(args.baseline_iters, 100)
+    chained_bs1(local_iters, 100)
     dt_base_local = max(time.perf_counter() - t0 - rtt, 1e-9)
-    qps_ref_local = args.baseline_iters / dt_base_local
+    qps_ref_local = local_iters / dt_base_local
 
     # --- measured leg: batched serving with cached neighbor embeddings
     # and the BN-folded backbone (models/fold_bn.py; ~2.5x measured) -------
@@ -190,16 +186,7 @@ def main():
     # (tests/test_serving.py asserts exact equality in f32; in bf16 a
     # near-tied argmin anchor can flip, so tolerate that one discrete
     # choice by comparing only when anchors agree.)
-    @jax.jit
-    def full_eval1(variables, images, adj, poses):
-        _, pred_rel, _, aux = model.apply(variables, images, adj,
-                                          train=False)
-        nbr = graph_ops.nearest_neighbor(aux["node_feats"], node=0)
-        b = pred_rel.shape[0]
-        return (poses[jnp.arange(b), nbr]
-                - pred_rel[jnp.arange(b), nbr, 0], nbr)
-
-    fp, fnbr = full_eval1(variables, img1, adj1, poses1)
+    fp, fnbr = eval_fn(variables, img1, adj1, poses1, 0.0)
     q1, emb1 = split_graph(img1)
     c1 = cached_step(fvars, q1, emb1, poses1[:, 1:], adj1)
     if int(fnbr[0]) == int(c1["nbr"][0]):
@@ -227,28 +214,40 @@ def main():
         q = q * (1.0 + 1e-4 * salt)
         return jnp.sum(cached_step(fvars, q, emb, nbr_poses, adj)["pred"])
 
-    # warm/compile the serving step at the measured batch, INCLUDING the
-    # accumulator-add pattern used in the timed loop (its first chained
-    # execution pays a measurable one-time cost through the tunnel)
+    # AOT: lower + compile ONCE and reuse the SAME executable for the cost
+    # analysis and the timed loop (a separate .lower().compile() for the
+    # FLOP count would pay a second ~80 s tunnel compile)
+    compiled = timed_step.lower(fvars, q_base, emb, nbr_poses, adj,
+                                jnp.float32(0.0)).compile()
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        step_flops = float(ca.get("flops", 0.0))
+    except Exception:
+        step_flops = 0.0
+
+    def run_step(salt):
+        return compiled(fvars, q_base, emb, nbr_poses, adj,
+                        jnp.float32(salt))
+
+    # warm the executable AND the accumulator-add pattern used in the timed
+    # loop (the first chained execution pays a one-time tunnel cost)
     acc = jnp.zeros(())
     for i in range(2):
-        acc = acc + timed_step(fvars, q_base, emb, nbr_poses, adj,
-                               float(i))
+        acc = acc + run_step(i)
     float(acc)
 
     t0 = time.perf_counter()
     acc = jnp.zeros(())
     for i in range(args.iters):
-        acc = acc + timed_step(fvars, q_base, emb, nbr_poses, adj,
-                               float(i + 1))
+        acc = acc + run_step(10 + i)
     float(acc)  # one D2H that waits on every chained execution
     dt = max(time.perf_counter() - t0 - rtt, 1e-9)
     qps = args.batch_size * args.iters / dt
 
     # MFU: XLA's own FLOP count for one serving step (backbone on the query
     # + gathered-embedding GNN), achieved-over-peak on this chip
-    step_flops = compiled_flops(timed_step, fvars, q_base, emb, nbr_poses,
-                                adj, 0.0)
     mfu = (step_flops * args.iters / dt) / chip_peak_flops()
 
     print(json.dumps({
