@@ -134,9 +134,15 @@ def main(argv=None):
     from relpose_gnn_tpu.ops.graph import fc_edge_index, first_edge_anchor
     from relpose_gnn_tpu.training.trainer import make_eval_step
 
-    scenes = (args.scenes.split(",") if args.scenes
-              else list(PUBLISHED_7SCENES) if args.dataset == "7Scenes"
-              else [])
+    if args.scenes:
+        scenes = args.scenes.split(",")
+    elif args.dataset == "7Scenes":
+        scenes = list(PUBLISHED_7SCENES)
+    else:
+        # Cambridge publishes no in-repo table (BASELINE.md: paper Table 3
+        # only) — default to all scenes rather than silently evaluating none
+        from relpose_gnn_tpu.data.cambridge import CAMBRIDGE_SCENES
+        scenes = list(CAMBRIDGE_SCENES)
     published = PUBLISHED_7SCENES if args.dataset == "7Scenes" else {}
 
     # --- model + converted released weights -------------------------------

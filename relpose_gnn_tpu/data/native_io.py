@@ -163,6 +163,15 @@ class NativeConcatDataset:
         rec0 = self.parts[0]["images"].rec_shape
         assert all(p["images"].rec_shape == rec0 for p in self.parts), \
             "stores must share graph shape"
+        # the native gather memcpys raw record bytes into one output
+        # buffer: dtypes must agree exactly (a uint8 store's bytes
+        # reinterpreted as float32 would be garbage, not even a cast)
+        for k in self.KEYS:
+            d0 = self.parts[0][k].dtype
+            if any(p[k].dtype != d0 for p in self.parts):
+                raise ValueError(
+                    f"mixed {k} dtypes across stores {roots}; rebuild "
+                    f"with one --store-dtype")
         self._offsets = np.concatenate([[0], np.cumsum(sizes)])
 
     def __len__(self) -> int:
@@ -213,10 +222,21 @@ class NativeBatchLoader:
     KEYS = ("images", "poses", "adj")
 
     def __init__(self, root: str, threads: int = 4):
+        import json
+
         self._lib = _load()
         self.arrays = {k: NativeArray(osp.join(root, f"{k}.npy"))
                        for k in self.KEYS}
+        # shrunk stores (skipped frames) keep longer preallocated memmaps;
+        # meta.json num_graphs is the number of VALID records — indexing
+        # past it would feed unwritten all-zero graphs (see data/packed.py)
         self.num_records = self.arrays["images"].shape[0]
+        meta_path = osp.join(root, "meta.json")
+        if osp.isfile(meta_path):
+            with open(meta_path) as f:
+                n = json.load(f).get("num_graphs")
+            if n is not None:
+                self.num_records = min(self.num_records, int(n))
         handles = (ctypes.c_void_p * 3)(
             *[self.arrays[k]._h for k in self.KEYS])
         recs = (ctypes.c_uint64 * 3)(

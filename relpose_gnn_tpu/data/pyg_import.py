@@ -107,6 +107,21 @@ def _search(obj, found: dict, depth: int = 0) -> None:
             _search(v, found, depth + 1)
     elif isinstance(obj, _Stub):
         _search(obj.__dict__, found, depth + 1)
+    elif type(obj).__module__.startswith("torch_geometric"):
+        # a REAL torch_geometric object (env has PyG installed, stubs
+        # no-op'd): PyG 2.x keeps tensors in BaseStorage objects that are
+        # neither dicts nor _Stubs.  Duck-type: direct attribute access
+        # first (works for Data in both 1.x and 2.x), then its __dict__.
+        for k in _WANTED:
+            if k not in found:
+                v = getattr(obj, k, None)
+                if v is not None and hasattr(v, "numpy"):
+                    found[k] = v
+        if len(found) < len(_WANTED) and hasattr(obj, "__dict__"):
+            _search(dict(obj.__dict__), found, depth + 1)
+        mapping = getattr(obj, "_mapping", None)  # BaseStorage payload
+        if len(found) < len(_WANTED) and isinstance(mapping, dict):
+            _search(mapping, found, depth + 1)
 
 
 def load_pyg_graph(path: str | Path) -> dict[str, np.ndarray]:
@@ -117,8 +132,9 @@ def load_pyg_graph(path: str | Path) -> dict[str, np.ndarray]:
     install_pyg_stubs()
     obj = torch.load(str(path), map_location="cpu", weights_only=False)
     found: dict = {}
-    _search(obj if isinstance(obj, (dict, list, tuple)) else obj.__dict__,
-            found)
+    _search(obj, found)  # handles dict/list/_Stub/real-PyG objects
+    if len(found) < 3 and hasattr(obj, "__dict__"):
+        _search(dict(obj.__dict__), found)
     missing = [k for k in ("x", "edge_index", "y") if k not in found]
     if missing:
         raise ValueError(f"{path}: missing {missing} in pickle "

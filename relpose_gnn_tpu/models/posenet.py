@@ -108,7 +108,7 @@ class RelPoseGNN(nn.Module):
 
         self.proj_edge = nn.Dense(c.edge_dim, name="proj_edge")
         if c.use_attention:
-            self.att = AttentionBlock(c.feat_dim)
+            self.att = AttentionBlock(c.feat_dim, dtype=c.dtype)
         if c.use_gnn:
             self.gnn_layers = [
                 DenseEdgeGNN(c.node_dim, c.edge_dim, c.node_dim,

@@ -84,18 +84,30 @@ def mapnet_online_criterion(params: dict, pred: jax.Array, targ: jax.Array,
     """`MapNetOnlineCriterion` (criterion.py:171-244): unlabeled-VO variant.
 
     pred: [B, 2T, 7] — first T are absolute-pose predictions for labeled
-    frames, last T are absolute predictions for the unlabeled VO frames,
-    converted to T-1 geometric VOs via `calc_vos` (pose_utils.py:253-262).
-    targ: [B, 2T-1, 7] — T absolute targets then T-1 VO targets (gps_mode:
-    VO targets carry absolute 2D translations, only [:2] is compared and no
-    rotation term).  Quirk note: the reference computes `T = s[1] / 2` with
-    float division (py2 heritage); we use the intended integer T.
+    frames, last T are absolute predictions for the unlabeled VO frames.
+
+    gps_mode=False: the last T predictions are converted to T-1 geometric
+    VOs via `calc_vos` (pose_utils.py:253-262) and targ is [B, 2T-1, 7]
+    (T absolute targets then T-1 VO targets).
+
+    gps_mode=True: predictions are NOT reduced — the reference compares
+    the T absolute predictions directly against T GPS rows (only [:2]
+    translation, no rotation term; criterion.py:228-238), so targ must be
+    [B, 2T, 7] (T absolute + T GPS rows).  The reference docstring's
+    "N x 2T-1" shape only describes the non-GPS mode — with 2T-1 targets
+    torch's L1Loss would raise on the mismatched row counts.
+
+    Quirk note: the reference computes `T = s[1] / 2` with float division
+    (py2 heritage); we use the intended integer T.
     """
     from relpose_gnn_tpu.ops.pose import calc_vo
 
     t = pred.shape[-2] // 2
     pred_abs, pred_vos = pred[..., :t, :], pred[..., t:, :]
     targ_abs, targ_vos = targ[..., :t, :], targ[..., t:, :]
+    expect = 2 * t if gps_mode else 2 * t - 1
+    assert targ.shape[-2] == expect, (
+        f"targ rows {targ.shape[-2]} != {expect} for gps_mode={gps_mode}")
 
     abs_loss = (jnp.exp(-params["sax"]) * _masked_l1(pred_abs[..., :3],
                                                      targ_abs[..., :3], None)

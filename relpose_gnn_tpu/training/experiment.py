@@ -131,12 +131,21 @@ def pose_stats(cfg: ExperimentConfig):
 def evaluate_scene(eval_step, state, ds: PackedGraphDataset,
                    batch_size: int, mean_t, std_t, sharding=None,
                    pad_multiple: int = 1):
-    """Batched whole-scene eval.  With `sharding` (multi-chip), the ragged
-    final batch is padded to `pad_multiple` (the mesh data-axis size) by
-    repeating its last graph so every batch's leading dim divides the data
-    axis; the padding rows are sliced off the concatenated output."""
+    """Batched whole-scene eval.  With `sharding` (multi-chip), EVERY batch
+    whose leading dim does not divide `pad_multiple` (the mesh data-axis
+    size) is padded by repeating its last graph — when batch_size itself is
+    not a multiple, pad rows land mid-stream, not just at the tail — so
+    each batch's output is trimmed back to ITS OWN valid count (trimming
+    only the concatenated tail would drop real rows and double-count pad
+    rows)."""
     it = data_iterator(ds, batch_size=batch_size, shuffle=False, epochs=1,
                        drop_remainder=False)
+
+    # sequential un-shuffled batches -> valid counts are deterministic
+    n_total = len(ds)
+    valid = [batch_size] * (n_total // batch_size)
+    if n_total % batch_size:
+        valid.append(n_total % batch_size)
 
     def padded(batches):
         for batch in batches:
@@ -148,13 +157,14 @@ def evaluate_scene(eval_step, state, ds: PackedGraphDataset,
             yield batch
 
     preds, targs = [], []
-    for batch in device_prefetch(padded(it), ds.mean, ds.std,
-                                 sharding=sharding):
+    for i, batch in enumerate(device_prefetch(padded(it), ds.mean, ds.std,
+                                              sharding=sharding)):
         out = eval_step(state, batch)
-        preds.append(np.asarray(out["pred"]))
-        targs.append(np.asarray(out["target"]))
-    preds = np.concatenate(preds)[:len(ds)]
-    targs = np.concatenate(targs)[:len(ds)]
+        preds.append(np.asarray(out["pred"])[:valid[i]])
+        targs.append(np.asarray(out["target"])[:valid[i]])
+    preds = np.concatenate(preds)
+    targs = np.concatenate(targs)
+    assert len(preds) == n_total, (len(preds), n_total)
     return compute_pose_errors(preds, targs,
                                pose_mean=mean_t, pose_std=std_t)
 
@@ -215,8 +225,14 @@ def run_training(cfg: ExperimentConfig) -> dict:
                                                        param_sharding,
                                                        replicate)
         mesh = create_mesh(n_data=cfg.mesh_data, n_model=cfg.mesh_model)
-        assert cfg.batch_size % cfg.mesh_data == 0, (
-            "batch_size must divide the data axis")
+        # check the EFFECTIVE batch (the tiny-dataset clamp above may have
+        # shrunk it) — otherwise the first sharded device_put fails with an
+        # opaque uneven-sharding error mid-training
+        if batch_size % cfg.mesh_data != 0:
+            raise ValueError(
+                f"effective batch size {batch_size} (cfg {cfg.batch_size}, "
+                f"dataset {len(train_ds)}) must be divisible by "
+                f"mesh_data={cfg.mesh_data}")
         p_shard = param_sharding(mesh, state.params["model"],
                                  tensor_parallel=cfg.mesh_model > 1)
         params = dict(state.params)

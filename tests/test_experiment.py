@@ -218,5 +218,12 @@ class TestMeshEval:
         cfg2 = tiny_cfg(graphs, save_dir=str(tmp_path / "m1"), batch_size=3,
                         mesh_data=4, mesh_model=1)
         meshed = run_eval(cfg2, save_predictions=False)["chess"]
+        # per-item predictions must match exactly (medians alone are robust
+        # to row drop/duplication and would mask padding misalignment —
+        # caught by review: mid-stream pad rows when batch_size % mesh != 0)
+        np.testing.assert_allclose(meshed.pred_poses, single.pred_poses,
+                                   atol=1e-5)
+        np.testing.assert_allclose(meshed.targ_poses, single.targ_poses,
+                                   atol=1e-6)
         assert abs(single.median_t - meshed.median_t) < 1e-5
         assert abs(single.median_q - meshed.median_q) < 1e-5

@@ -143,7 +143,9 @@ class TestMapNetOnlineCriterion:
             init_mapnet_criterion_params, mapnet_online_criterion)
         rng = np.random.default_rng(1)
         pred = rng.normal(size=(2, 4, 7)).astype(np.float32)
-        targ = rng.normal(size=(2, 3, 7)).astype(np.float32)
+        # gps_mode: T GPS rows (not T-1 VOs) -> targ has 2T rows; the T
+        # VO-slot predictions are compared un-reduced against them
+        targ = rng.normal(size=(2, 4, 7)).astype(np.float32)
         params = init_mapnet_criterion_params(0.0, 0.0, 0.0, 0.0)
         got = float(mapnet_online_criterion(
             params, jnp.asarray(pred), jnp.asarray(targ), gps_mode=True))

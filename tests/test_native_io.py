@@ -78,6 +78,31 @@ class TestNativeBatchLoader:
         loader.close()
 
 
+class TestNativeBatchLoaderShrunkStore:
+    def test_loader_respects_meta_num_graphs(self, tmp_path):
+        """A shrunk store (skipped frames: meta num_graphs < memmap rows)
+        must not feed the unwritten all-zero tail records."""
+        import json
+        import os.path as osp
+        root, recs = make_packed(tmp_path, n=8)
+        meta_path = osp.join(root, "meta.json")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        meta["num_graphs"] = 5
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+        loader = native_io.NativeBatchLoader(root)
+        try:
+            assert len(loader) == 5
+            seen = []
+            for b in loader.epoch(np.random.default_rng(0), batch_size=2,
+                                  shuffle=True, drop_remainder=False):
+                seen.extend(b["poses"][:, 0, 0].tolist())
+            assert sorted(seen) == [0.0, 1.0, 2.0, 3.0, 4.0]
+        finally:
+            loader.close()
+
+
 class TestNativePipelineIntegration:
     def test_native_data_iterator(self, tmp_path):
         from relpose_gnn_tpu.data.pipeline import native_data_iterator
