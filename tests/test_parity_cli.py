@@ -161,3 +161,34 @@ class TestParityCLI:
             t_errs.append(np.linalg.norm(pred6[:3] - y[0, :3]))
         np.testing.assert_allclose(sorted(err.t_errors), sorted(t_errs),
                                    atol=2e-3)
+
+
+class TestRealPygObjects:
+    def test_search_handles_pyg2_storage_layout(self):
+        """With a real torch_geometric installed the stubs no-op; the
+        tensor search must duck-type actual PyG 2.x objects (Data.x via
+        attribute access / BaseStorage._mapping), not just dict/_Stub
+        trees.  Simulated here with classes whose __module__ claims
+        torch_geometric."""
+        import torch
+
+        from relpose_gnn_tpu.data.pyg_import import _search
+
+        x = torch.arange(6, dtype=torch.float32).reshape(2, 3)
+        ei = torch.tensor([[0], [1]])
+        y = torch.zeros(2, 6)
+
+        storage = type("BaseStorage", (), {})()
+        storage.__class__.__module__ = "torch_geometric.data.storage"
+        storage._mapping = {"x": x, "edge_index": ei, "y": y}
+
+        data = type("Data", (), {})()
+        data.__class__.__module__ = "torch_geometric.data.data"
+        data._store = storage
+        # PyG 2.x Data proxies attribute access to _store; our search must
+        # not rely on that proxying (plain object here), only on reaching
+        # _store._mapping through __dict__ traversal
+        found = {}
+        _search(data, found)
+        assert set(found) >= {"x", "edge_index", "y"}, sorted(found)
+        assert found["x"] is x
