@@ -46,7 +46,10 @@ def _kernel(phi_ref, theta_ref, g_ref, y_ref):
     phi = phi_ref[:].astype(jnp.float32)      # [T, C]
     theta = theta_ref[:].astype(jnp.float32)  # [T, C]
     g = g_ref[:].astype(jnp.float32)          # [T, C]
-    # rank-1 logits for the tile, VMEM-resident only
+    # rank-1 logits for the tile, VMEM-resident only.  (An analytic row
+    # max — phi_i*max(theta) by sign, skipping one [T,C,C] reduction —
+    # was tried and measured SLOWER: 7.4 vs 6.3 ms at E=16384; Mosaic
+    # schedules the plain max pass better than the where/broadcast mix.)
     f = phi[:, :, None] * theta[:, None, :]   # [T, C, C]
     m = jnp.max(f, axis=-1, keepdims=True)
     w = jnp.exp(f - m)                        # [T, C, C]
