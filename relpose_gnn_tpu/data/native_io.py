@@ -171,7 +171,7 @@ class NativeConcatDataset:
             if any(p[k].dtype != d0 for p in self.parts):
                 raise ValueError(
                     f"mixed {k} dtypes across stores {roots}; rebuild "
-                    f"with one --store-dtype")
+                    f"with one dtype (PackedGraphWriter dtype=)")
         self._offsets = np.concatenate([[0], np.cumsum(sizes)])
 
     def __len__(self) -> int:

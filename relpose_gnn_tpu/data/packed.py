@@ -157,6 +157,25 @@ class ConcatPackedDataset:
         self.datasets = datasets
         self._sizes = np.array([len(d) for d in datasets])
         self._offsets = np.concatenate([[0], np.cumsum(self._sizes)])
+        # dtype policy, checked ONCE at construction (not per batch):
+        # image dtypes must AGREE across stores — the on-device normalizer
+        # keys its /255 on uint8 (pipeline.make_normalizer), so silently
+        # promoting a uint8 store into a float batch would leave its rows
+        # 255x off (and the converse truncates floats to zeros).
+        # Poses/adj dtypes promote safely.
+        self._dtypes: dict[str, np.dtype] = {}
+        for d in datasets:
+            if "images" in self._dtypes \
+                    and d.images.dtype != self._dtypes["images"]:
+                raise ValueError(
+                    f"mixed image dtypes across concatenated stores "
+                    f"({self._dtypes['images']} vs {d.images.dtype} in "
+                    f"{d.root}); rebuild the stores with one dtype (PackedGraphWriter dtype=)")
+            self._dtypes["images"] = d.images.dtype
+            for k, a in (("poses", d.poses), ("adj", d.adj)):
+                self._dtypes[k] = (
+                    a.dtype if k not in self._dtypes
+                    else np.promote_types(self._dtypes[k], a.dtype))
 
     def __len__(self) -> int:
         return int(self._offsets[-1])
@@ -168,33 +187,16 @@ class ConcatPackedDataset:
         indices = np.asarray(indices)
         which = np.searchsorted(self._offsets, indices, side="right") - 1
         local = indices - self._offsets[which]
-        touched = np.unique(which)
-        # dtype policy: image dtypes must AGREE across touched stores —
-        # the on-device normalizer keys its /255 on uint8
-        # (pipeline.make_normalizer), so silently promoting a uint8 store
-        # into a float batch would leave its rows 255x off (and the
-        # converse truncates floats to zeros).  Poses/adj promote safely.
-        dtypes: dict[str, np.dtype] = {}
-        for ds_idx in touched:
-            d = self.datasets[int(ds_idx)]
-            if "images" in dtypes and d.images.dtype != dtypes["images"]:
-                raise ValueError(
-                    f"mixed image dtypes across concatenated stores "
-                    f"({dtypes['images']} vs {d.images.dtype} in {d.root}); "
-                    f"rebuild the stores with one --store-dtype")
-            dtypes["images"] = d.images.dtype
-            for k, a in (("poses", d.poses), ("adj", d.adj)):
-                dtypes[k] = (a.dtype if k not in dtypes
-                             else np.promote_types(dtypes[k], a.dtype))
         out: dict[str, np.ndarray] = {}
-        for ds_idx in touched:
+        for ds_idx in np.unique(which):
             sel = np.flatnonzero(which == ds_idx)
             order = np.argsort(local[sel], kind="stable")
             rec = self.datasets[int(ds_idx)].batch(local[sel][order])
             for k, arr in rec.items():
                 if k not in out:
+                    # dtype agreement/promotion validated in __init__
                     out[k] = np.empty((len(indices),) + arr.shape[1:],
-                                      dtypes.get(k, arr.dtype))
+                                      self._dtypes.get(k, arr.dtype))
                 out[k][sel[order]] = arr
         return out
 

@@ -108,18 +108,28 @@ def device_prefetch(host_iter: Iterator[dict], mean: np.ndarray,
     def put_device(batch: dict) -> dict:
         out = {}
         for k, v in batch.items():
-            arr = jnp.asarray(v)
             if sharding is not None and k in sharding:
-                arr = jax.device_put(arr, sharding[k])
-            out[k] = arr
+                # host -> per-shard in ONE step; jnp.asarray first would
+                # commit the full batch to device 0 and then redistribute
+                # (an extra full-batch hop per key per step)
+                out[k] = jax.device_put(np.asarray(v), sharding[k])
+            else:
+                out[k] = jnp.asarray(v)
         if sharding is None:
             out["images"] = normalize(out["images"])
         return out
+
+    # a worker-thread exception must FAIL the consumer's epoch, not
+    # silently truncate it (a swallowed per-batch error would let training
+    # 'succeed' on a biased prefix of the data)
+    error: list[BaseException] = []
 
     def worker():
         try:
             for batch in host_iter:
                 q.put(put_device(batch))
+        except BaseException as exc:  # noqa: BLE001 - re-raised below
+            error.append(exc)
         finally:
             q.put(_SENTINEL)
 
@@ -132,3 +142,5 @@ def device_prefetch(host_iter: Iterator[dict], mean: np.ndarray,
         if sharding is not None:
             item["images"] = normalize(item["images"])
         yield item
+    if error:
+        raise error[0]

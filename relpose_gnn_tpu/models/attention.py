@@ -58,7 +58,14 @@ class AttentionBlock(nn.Module):
         if use_pallas is None:
             use_pallas = USE_PALLAS_DEFAULT
         if use_pallas is None:
-            use_pallas = (jax.default_backend() == "tpu" and c8 % 128 == 0)
+            # auto: single TPU chip with a lane-aligned bottleneck only.
+            # Under a multi-device mesh the Mosaic custom call has no SPMD
+            # partitioning rule, so GSPMD would replicate/all-gather the
+            # sharded activations (or fail to partition); the XLA branch
+            # shards cleanly, so multi-chip keeps it until the kernel
+            # grows a shard_map/custom-partitioning wrapper.
+            use_pallas = (jax.default_backend() == "tpu"
+                          and len(jax.devices()) == 1 and c8 % 128 == 0)
         if use_pallas:
             from relpose_gnn_tpu.ops.att_pallas import attention_core
             lead = phi_x.shape[:-1]
@@ -67,7 +74,8 @@ class AttentionBlock(nn.Module):
                                g_x.reshape(-1, c8))
             y = y.reshape(*lead, c8).astype(g_x.dtype)
         else:
-            f = phi_x[..., :, None] * theta_x[..., None, :]
-            w = jax.nn.softmax(f, axis=-1)  # rows over j (att.py:26)
-            y = jnp.einsum("...ij,...j->...i", w, g_x)
+            # same math as the kernel's parity oracle — call it, don't
+            # re-implement it (divergence risk)
+            from relpose_gnn_tpu.ops.att_pallas import attention_core_xla
+            y = attention_core_xla(phi_x, theta_x, g_x)  # rows over j
         return x + nn.Dense(self.in_channels, dtype=self.dtype, name="W")(y)

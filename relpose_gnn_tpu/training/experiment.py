@@ -306,8 +306,13 @@ def run_training(cfg: ExperimentConfig) -> dict:
             ckpt.save_checkpoint(str(logdir / "ckpt"), state, epoch)
         if epoch > cfg.eval_after_epoch:
             for s, ds in test_ds.items():
-                err = evaluate_scene(eval_step, state, ds, cfg.batch_size,
-                                     mean_t, std_t)
+                # under mesh training, eval shards over `data` too (else
+                # the batch auto-replicates and every device redundantly
+                # computes the whole thing)
+                err = evaluate_scene(
+                    eval_step, state, ds, cfg.batch_size, mean_t, std_t,
+                    sharding=batch_shardings,
+                    pad_multiple=cfg.mesh_data if batch_shardings else 1)
                 logger.info("[scene %s epoch %04d] %s", s, epoch, err)
                 best[s]["median_t"] = min(best[s]["median_t"], err.median_t)
                 best[s]["median_q"] = min(best[s]["median_q"], err.median_q)

@@ -379,3 +379,51 @@ class TestTestSplitRgbPaths:
         import pytest as _pytest
         with _pytest.raises(IOError):
             test_split_rgb_paths(str(tmp_path), "chess", expected_count=5)
+
+
+class TestPrefetchErrorPropagation:
+    def test_worker_exception_reaches_consumer(self):
+        """A data-pipeline error in the prefetch worker must fail the
+        epoch, not silently truncate it (review finding: a swallowed
+        per-batch error lets training 'succeed' on a biased data prefix)."""
+        import pytest
+        from relpose_gnn_tpu.data.pipeline import device_prefetch
+
+        def bad_iter():
+            yield {"images": np.zeros((2, 1, 4, 4, 3), np.uint8),
+                   "poses": np.zeros((2, 1, 6), np.float32),
+                   "adj": np.zeros((2, 1, 1), bool)}
+            raise RuntimeError("boom in the loader")
+
+        got = []
+        with pytest.raises(RuntimeError, match="boom in the loader"):
+            for b in device_prefetch(bad_iter(), np.zeros(3), np.ones(3)):
+                got.append(b)
+        assert len(got) == 1  # the good batch still flows
+
+
+class TestConcatDtypePolicy:
+    def test_mixed_image_dtypes_rejected_at_construction(self, tmp_path):
+        """uint8 + float image stores must fail at ConcatPackedDataset
+        construction (the device normalizer keys /255 on uint8), not on
+        some later batch that happens to touch both."""
+        import pytest
+        from relpose_gnn_tpu.data.packed import (ConcatPackedDataset,
+                                                 PackedGraphDataset,
+                                                 PackedGraphWriter)
+
+        rng = np.random.default_rng(0)
+        roots = []
+        for i, dt in enumerate(("uint8", "float16")):
+            root = str(tmp_path / f"s{i}")
+            w = PackedGraphWriter(root, num_graphs=3, num_nodes=2,
+                                  height=4, width=4, mean=[0] * 3,
+                                  std=[1] * 3, dtype=dt)
+            for _ in range(3):
+                w.add(rng.random((2, 4, 4, 3)).astype(np.float32),
+                      np.zeros((2, 6), np.float32),
+                      np.ones((2, 2), bool))
+            w.finalize()
+            roots.append(root)
+        with pytest.raises(ValueError, match="mixed image dtypes"):
+            ConcatPackedDataset([PackedGraphDataset(r) for r in roots])
