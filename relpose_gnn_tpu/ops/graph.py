@@ -125,20 +125,24 @@ def fc_adjacency(n: int) -> np.ndarray:
 
 
 def first_edge_anchor(edge_index: np.ndarray, ref_node: int = 0) -> int:
-    """Source node of the first edge into `ref_node` in CONSTRUCTION order.
+    """Source node of the `ref_node`-th edge INTO NODE 0 in construction
+    order.
 
-    This is the reference's anchor with a static graph (knn=0):
-    `ref_idx = argwhere(edges[1] == 0)[0]` (testing/test.py:227-229) picks
-    whatever edge the builder emitted first — for `fc_edge_index` that is
-    always node 1 (the flipped copies are ordered by separation s, so the
-    first edge into node 0 is 1 -> 0).  With knn>0 the dynamic graph's edge
-    order encodes ascending distance instead; use
+    Reference semantics (testing/test.py:227-229):
+    `ref_idx = argwhere(edges[1] == 0)[ref_node, 0]` — the query is always
+    node 0 and `ref_node` is an ORDINAL selecting which of its incoming
+    edges anchors the recovery (the reference runs with ref_node=0, the
+    first edge the builder emitted — for `fc_edge_index` that is node 1,
+    since the flipped copies are ordered by separation s).  With knn>0 the
+    dynamic graph's edge order encodes ascending distance instead; use
     `nearest_neighbor` for that case.
     """
-    into_ref = np.flatnonzero(edge_index[1] == ref_node)
-    if len(into_ref) == 0:
-        raise ValueError(f"no edges into node {ref_node}")
-    return int(edge_index[0, into_ref[0]])
+    into_query = np.flatnonzero(edge_index[1] == 0)
+    if ref_node >= len(into_query):
+        raise ValueError(
+            f"only {len(into_query)} edges into node 0; ref_node="
+            f"{ref_node} out of range")
+    return int(edge_index[0, into_query[ref_node]])
 
 
 # ---------------------------------------------------------------------------

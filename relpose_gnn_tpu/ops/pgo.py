@@ -45,9 +45,7 @@ def _residuals(z: jax.Array, poses: jax.Array, vos: jax.Array,
                ) -> jax.Array:
     """Stacked weighted residual vector."""
     # unary (pose_utils.py:590-596)
-    r_abs = (z - poses).reshape(-1)
-    r_abs = r_abs.reshape(-1, 7) * jnp.asarray(
-        [w_ax] * 3 + [w_aq] * 4)
+    r_abs = (z - poses) * jnp.asarray([w_ax] * 3 + [w_aq] * 4)
     # pairwise (pose_utils.py:598-614)
     ti, tj = z[src, :3], z[dst, :3]
     qi, qj = z[src, 3:], z[dst, 3:]

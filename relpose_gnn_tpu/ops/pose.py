@@ -265,7 +265,8 @@ def quat2mat(q: jax.Array) -> jax.Array:
 
 def process_poses(poses_in: np.ndarray, mean_t: np.ndarray, std_t: np.ndarray,
                   align_R: np.ndarray, align_t: np.ndarray,
-                  align_s: float) -> np.ndarray:
+                  align_s: float, sign_zero_quirk: bool = False
+                  ) -> np.ndarray:
     """Raw Nx12 row-major [R|t] poses -> Nx6 [t, logq], aligned + normalized.
 
     Numpy port of the reference preprocessing (pose_utils.py:351-378):
@@ -273,14 +274,23 @@ def process_poses(poses_in: np.ndarray, mean_t: np.ndarray, std_t: np.ndarray,
     quaternion constrained to the w>=0 hemisphere, log-mapped; translation
     aligned, scaled, then mean/std-normalized.  Vectorized via the jitted
     `mat2quat` above instead of the per-row Python loop.
+
+    Quirk (flagged per the repo convention): the reference hemisphere
+    constraint is `q *= np.sign(q[0])` (pose_utils.py:366), which ZEROES
+    the quaternion when w == 0 exactly (a 180-degree rotation) and maps it
+    to logq = 0 (identity).  Default keeps the true pi*axis log map
+    (safer); pass `sign_zero_quirk=True` to replicate the reference
+    byte-for-byte on such frames.
     """
     poses_in = np.asarray(poses_in, dtype=np.float64)
     n = len(poses_in)
     t = poses_in[:, [3, 7, 11]]
     R = poses_in.reshape(n, 3, 4)[:, :3, :3]
     q = np.asarray(mat2quat(jnp.asarray(align_R[None] @ R)))
-    q = q * np.where(q[:, :1] >= 0, 1.0, -1.0)  # hemisphere; sign(0) quirk: ref
-    # reference uses np.sign(q[0]) which zeroes q when w==0; we keep q (safer)
+    if sign_zero_quirk:
+        q = q * np.sign(q[:, :1])  # reference: q -> 0 when w == 0
+    else:
+        q = q * np.where(q[:, :1] >= 0, 1.0, -1.0)
     logq = np.asarray(qlog(jnp.asarray(q)))
     t = (t - align_t) @ align_R.T * align_s
     t = (t - mean_t) / std_t

@@ -76,13 +76,17 @@ class NetVLADIndex:
         self.descriptors: jnp.ndarray | None = None  # [M, 32768]
 
     def embed(self, images: np.ndarray) -> np.ndarray:
-        """[B, H, W, 3] ImageNet-normalized -> [B, 32768] float32."""
+        """[B, H, W, 3] ImageNet-normalized -> [B, K*encoder_dim] float32."""
         out = []
         for i in range(0, len(images), self.batch_size):
             chunk = jnp.asarray(images[i:i + self.batch_size])
             out.append(np.asarray(self._embed(self.variables, chunk),
                                   np.float32))
-        return np.concatenate(out) if out else np.zeros((0, 64 * 512))
+        if out:
+            return np.concatenate(out)
+        return np.zeros(
+            (0, self.encoder.num_clusters * self.encoder.encoder_dim),
+            np.float32)
 
     def build(self, images: Iterable[np.ndarray] | np.ndarray) -> None:
         images = np.asarray(images)

@@ -71,12 +71,15 @@ def subsample_neighbors(rng: jax.Array, similarity: jax.Array,
     # take the first k selected in rank order
     rank_score = jnp.where(selected, -jnp.arange(m), -jnp.inf)
     _, take = jax.lax.top_k(rank_score, k)
-    # if fewer than k selected, top_k returns arbitrary -inf slots: clamp to
-    # the best selected candidate
+    # if fewer than k selected, top_k returns arbitrary -inf slots: clamp
+    # to the best selected candidate; with ZERO survivors fall back to the
+    # best-ranked VALID candidate (rank 0 may be an excluded entry — the
+    # query itself / a same-sequence frame — and must never fill the graph)
     any_sel = jnp.any(selected)
     first_sel = jnp.argmax(selected)
+    first_valid = jnp.argmax(~inv_sorted)  # 0 only if ALL are invalid
     take = jnp.where(selected[take], take,
-                     jnp.where(any_sel, first_sel, 0))
+                     jnp.where(any_sel, first_sel, first_valid))
     return order[take]
 
 

@@ -90,13 +90,18 @@ class VLADIndex:
     def build(self, per_image_descs: list[np.ndarray]) -> None:
         self.descriptors = np.stack([self.describe(d)
                                      for d in per_image_descs])
+        self._db_device = None  # invalidate the device-resident copy
 
     def query(self, local_descs: np.ndarray, k: int):
         """Top-k most similar database images for one query image
         (VLAD.py:243-257 equivalent)."""
         assert self.descriptors is not None
         q = self.describe(local_descs)
-        sim = jnp.asarray(self.descriptors) @ jnp.asarray(q)
+        # device-resident DB, uploaded once per build (re-uploading the
+        # [M, K*D] matrix per query would dominate latency on a slow link)
+        if getattr(self, "_db_device", None) is None:
+            self._db_device = jnp.asarray(self.descriptors)
+        sim = self._db_device @ jnp.asarray(q)
         scores, idx = jax.lax.top_k(sim, k)
         return np.asarray(scores), np.asarray(idx)
 

@@ -166,3 +166,14 @@ class TestFirstEdgeAnchor:
         ei = np.array([[1, 2], [2, 1]])
         with pytest.raises(ValueError):
             graph.first_edge_anchor(ei, ref_node=0)
+
+    def test_ref_node_is_ordinal_into_node_0(self):
+        """test.py:229: argwhere(edges[1]==0)[ref_node] — ref_node picks
+        WHICH edge into node 0, it is not a target-node id."""
+        ei = graph.fc_edge_index(5)
+        into0 = ei[0, np.flatnonzero(ei[1] == 0)]
+        for k in range(len(into0)):
+            assert graph.first_edge_anchor(ei, ref_node=k) == into0[k]
+        import pytest
+        with pytest.raises(ValueError):
+            graph.first_edge_anchor(ei, ref_node=len(into0))

@@ -64,23 +64,51 @@ class TestAlign:
         np.testing.assert_allclose(np.asarray(R_e), R, atol=1e-4)
 
     def test_align_camera_poses(self):
+        # geometrically consistent similarity: positions AND orientations
+        # of the target trajectory rotated by the same R (the reference's
+        # rotation constraint, pose_utils.py:1126-1133, adds orientation
+        # outer-products into the SVD — inconsistent fixture data would
+        # fight it)
         traj = make_trajectory(8, seed=5)
         R = Rotation.random(rng=np.random.default_rng(6)).as_matrix()
         t_align = np.array([1.0, 0, -2])
         t_new = traj[:, :3] @ R.T + t_align
-        q_align = Rotation.from_matrix(R).as_quat()
-        q_align = np.concatenate([q_align[3:], q_align[:3]])
+        rot_gt = (Rotation.from_matrix(R)
+                  * Rotation.from_quat(to_scipy(traj[:, 3:])))
+        q_gt = rot_gt.as_quat()
+        q_gt = np.concatenate([q_gt[:, 3:], q_gt[:, :3]],
+                              axis=1).astype(np.float32)  # wxyz
         ta, qa, _ = align.align_camera_poses(
             jnp.asarray(traj[:, :3]), jnp.asarray(traj[:, 3:]),
             jnp.asarray(t_new.astype(np.float32)),
-            jnp.asarray(traj[:, 3:]), with_scale=False)
+            jnp.asarray(q_gt), with_scale=False)
         np.testing.assert_allclose(np.asarray(ta), t_new, atol=1e-3)
         # rotated orientations: qa = q_align * q
-        want = (Rotation.from_matrix(R)
-                * Rotation.from_quat(to_scipy(traj[:, 3:]))).as_quat()
+        want = rot_gt.as_quat()
         got = to_scipy(np.asarray(qa))
         sign = np.sign(np.sum(got * want, axis=1, keepdims=True))
         np.testing.assert_allclose(got * sign, want, atol=1e-3)
+
+    def test_rotation_constraint_pins_degenerate_trajectories(self):
+        # straight-line camera centers leave the rotation about the path
+        # axis unconstrained by centers alone; the rotation constraint
+        # (reference default) disambiguates it with the orientations
+        n = 10
+        t_pred = np.stack([np.linspace(0, 1, n), np.zeros(n),
+                           np.zeros(n)], axis=1).astype(np.float32)
+        q_id = np.tile(np.array([1.0, 0, 0, 0], np.float32), (n, 1))
+        # target: same centers (degenerate), orientations rotated 90 deg
+        # about x (the line direction) — only orientations reveal R
+        Rx = Rotation.from_euler("x", 90, degrees=True)
+        q_rx = Rx.as_quat()
+        q_gt = np.tile(np.concatenate([q_rx[3:], q_rx[:3]]),
+                       (n, 1)).astype(np.float32)
+        ta, qa, (s, R, t_al) = align.align_camera_poses(
+            jnp.asarray(t_pred), jnp.asarray(q_id),
+            jnp.asarray(t_pred), jnp.asarray(q_gt), with_scale=False)
+        np.testing.assert_allclose(np.asarray(R), Rx.as_matrix(),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(ta), t_pred, atol=1e-4)
 
 
 class TestPGO:
