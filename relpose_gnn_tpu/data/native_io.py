@@ -157,6 +157,10 @@ class NativeConcatDataset:
                       for k in self.KEYS}
             self.parts.append(arrays)
             sizes.append(meta["num_graphs"])
+            self._means = getattr(self, "_means", [])
+            self._stds = getattr(self, "_stds", [])
+            self._means.append(np.asarray(meta["mean"], np.float32))
+            self._stds.append(np.asarray(meta["std"], np.float32))
             if not hasattr(self, "mean"):
                 self.mean = np.asarray(meta["mean"], np.float32)
                 self.std = np.asarray(meta["std"], np.float32)
@@ -196,6 +200,10 @@ class NativeConcatDataset:
                 arrays[k].gather(local[lo:hi], out=out[k][lo:hi],
                                  threads=self.threads)
             lo = hi
+        # per-record normalization stats: each scene normalizes with its
+        # OWN header stats (see ConcatPackedDataset.batch)
+        out["norm_mean"] = np.stack(self._means)[which]
+        out["norm_std"] = np.stack(self._stds)[which]
         return out
 
     def close(self):

@@ -176,6 +176,11 @@ class ConcatPackedDataset:
                 self._dtypes[k] = (
                     a.dtype if k not in self._dtypes
                     else np.promote_types(self._dtypes[k], a.dtype))
+        # per-scene normalization stats, indexed by member dataset
+        self._mean_rows = np.stack([d.mean for d in datasets]).astype(
+            np.float32)
+        self._std_rows = np.stack([d.std for d in datasets]).astype(
+            np.float32)
 
     def __len__(self) -> int:
         return int(self._offsets[-1])
@@ -198,6 +203,13 @@ class ConcatPackedDataset:
                     out[k] = np.empty((len(indices),) + arr.shape[1:],
                                       self._dtypes.get(k, arr.dtype))
                 out[k][sel[order]] = arr
+        # per-record normalization stats: the reference normalizes EACH
+        # scene with its own stats.txt (dataset_7Scenes_multi.py
+        # transform); a multi-scene batch must not apply scene 0's stats
+        # to every row (review finding) — the device normalizer applies
+        # these per row (data/pipeline.py)
+        out["norm_mean"] = self._mean_rows[which]
+        out["norm_std"] = self._std_rows[which]
         return out
 
     @property

@@ -35,6 +35,22 @@ def make_normalizer(mean: np.ndarray, std: np.ndarray):
     return normalize
 
 
+@jax.jit
+def normalize_per_record(images_u8: jax.Array, mean: jax.Array,
+                         std: jax.Array) -> jax.Array:
+    """Per-RECORD stats [B, 3]: a multi-scene batch normalizes each row
+    with its own scene's stats (the reference normalizes every scene with
+    its own stats.txt — one global mean/std would mis-normalize all but
+    one scene)."""
+    x = images_u8.astype(jnp.float32)
+    if images_u8.dtype == jnp.uint8:
+        x = x / 255.0
+    extra = x.ndim - 2  # broadcast [B, 3] over N/H/W axes
+    m = mean.reshape(mean.shape[:1] + (1,) * extra + (3,))
+    s = std.reshape(std.shape[:1] + (1,) * extra + (3,))
+    return (x - m) / s
+
+
 def batch_indices(rng: np.random.Generator, n: int, batch_size: int,
                   shuffle: bool, drop_remainder: bool = True
                   ) -> Iterator[np.ndarray]:
@@ -116,8 +132,16 @@ def device_prefetch(host_iter: Iterator[dict], mean: np.ndarray,
             else:
                 out[k] = jnp.asarray(v)
         if sharding is None:
-            out["images"] = normalize(out["images"])
+            out = apply_norm(out)
         return out
+
+    def apply_norm(item: dict) -> dict:
+        if "norm_mean" in item:
+            item["images"] = normalize_per_record(
+                item["images"], item.pop("norm_mean"), item.pop("norm_std"))
+        else:
+            item["images"] = normalize(item["images"])
+        return item
 
     # a worker-thread exception must FAIL the consumer's epoch, not
     # silently truncate it (a swallowed per-batch error would let training
@@ -140,7 +164,7 @@ def device_prefetch(host_iter: Iterator[dict], mean: np.ndarray,
         if item is _SENTINEL:
             break
         if sharding is not None:
-            item["images"] = normalize(item["images"])
+            item = apply_norm(item)
         yield item
     if error:
         raise error[0]

@@ -135,7 +135,10 @@ class SevenScenes:
             pose = self.poses[index]
             path = self.c_imgs[index]
             index += 1
-        rel = str(Path(path).relative_to(self.data_path))
+        # same expanduser'd base as rel_path() above (c_imgs are built
+        # from the expanded path; a tilde base would raise ValueError)
+        rel = str(Path(path).relative_to(
+            osp.expanduser(str(self.data_path))))
         return img, pose, rel
 
 

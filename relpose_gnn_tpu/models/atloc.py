@@ -57,7 +57,13 @@ class FourDirectionalLSTM(nn.Module):
             else:
                 hf = fwd(seq)
                 hb = bwd(seq)
-            return hf[:, -1], hb[:, 0]
+            # flax RNN(reverse=True, keep_order=False) emits outputs in
+            # PROCESSING order: [:, -1] is the backward LSTM's final
+            # hidden after consuming the whole sequence (reference
+            # att.py:58-63 concatenates hidden_state[1]); [:, 0] would be
+            # a one-step encoding of the original last element (verified
+            # empirically — review finding)
+            return hf[:, -1], hb[:, -1]
 
         h_lr_f, h_lr_b = bidir_lstm("rightleft", x_rl, feat)
         h_du_f, h_du_b = bidir_lstm("downup", x_du, self.seq_size)

@@ -230,9 +230,12 @@ class DenseEdgeGNNGated(nn.Module):
         e_new = PairMLP2((d, d, e.shape[-1]), self.edge_dim, self.edge_dim,
                          dtype=self.dtype, name="edge_mlp")(
             [(x, "s"), (x, "t"), (e, "e")])
+        # PyG message(x_i, x_j, e): TARGET-then-source order
+        # (my_gnn_layer.py:343-344) — unlike the production layer's
+        # [x_source, e'] message
         msg = PairMLP2((d, d, self.edge_dim), self.out_dim, self.out_dim,
                        dtype=self.dtype, name="msg_mlp")(
-            [(x, "s"), (x, "t"), (e_new, "e")])
+            [(x, "t"), (x, "s"), (e_new, "e")])
         gate = nn.sigmoid(MLP2(self.out_dim, self.out_dim, dtype=self.dtype,
                                name="gate_mlp")(e_new))
         aggr = masked_mean_aggregate(msg * gate, adj)

@@ -28,8 +28,9 @@ def build_model(name: str, num_nodes: int = 8, knn: int = 4,
     name = name.lower()
     if name in ("r1", "light_knn"):
         cfg = RelPoseGNNConfig.preset("R1", num_nodes=num_nodes, knn=knn,
-                                      droprate=droprate, dtype=dtype,
-                                      **overrides)
+                                      droprate=droprate,
+                                      gnn_recursion=gnn_recursion,
+                                      dtype=dtype, **overrides)
         return RelPoseGNN(cfg)
     if name == "r2":
         cfg = RelPoseGNNConfig.preset("R2", num_nodes=num_nodes, knn=knn,

@@ -338,12 +338,21 @@ def run_eval(cfg: ExperimentConfig, weights: str | None = None,
         jax.random.PRNGKey(cfg.seed), model, tcfg,
         jnp.asarray(sample["images"], jnp.float32), jnp.asarray(sample["adj"]))
     weights = weights or cfg.weights_filename
-    if weights and osp.isfile(weights):
-        if weights.endswith((".pth", ".pth.tar", ".tar")):
+    if weights:
+        # torch checkpoints are FILES; Orbax checkpoints are DIRECTORIES —
+        # an isfile()-only gate silently evaluated random-init weights for
+        # every Orbax dir (review finding)
+        if osp.isfile(weights) and weights.endswith(
+                (".pth", ".pth.tar", ".tar")):
             state = ckpt.load_torch_weights(state, weights)
-        else:
+        elif osp.isdir(weights) or osp.isfile(weights):
             state = ckpt.restore_checkpoint(weights, state)
-        logger.info("Loaded weights from %s", weights)
+        else:
+            logger.warning(
+                "weights path %s does not exist — evaluating RANDOM "
+                "INIT weights (smoke mode)", weights)
+        if osp.exists(weights):
+            logger.info("Loaded weights from %s", weights)
 
     # anchor rule (testing/test.py:227-229): dynamic kNN graph -> nearest
     # pre-GNN neighbor; static fc graph (knn=0) -> first edge in
@@ -409,11 +418,16 @@ def _evaluate_scene_serving(cfg: ExperimentConfig, model, state, ds,
             pose_stats_file=cfg.pose_stats_file or None,
             normalize_translation=bool(cfg.pose_stats_file),
             normalize_images=False)
-    imgs = np.zeros((len(database), h, w, 3), np.float32)
+    # uint8: 4x less RAM than float32 for a multi-thousand-frame split,
+    # and matches the packed stores' quantization (the device normalizer
+    # keys /255 on uint8); corrupt frames (load_image -> None, the
+    # documented skip contract) stay zeros rather than crashing the eval
+    imgs = np.zeros((len(database), h, w, 3), np.uint8)
     from relpose_gnn_tpu.data.graph_builder import _fit
     for i in range(len(database)):
         img = database.load_image(i)
-        imgs[i] = _fit(img, h, w)
+        if img is not None:
+            imgs[i] = np.clip(_fit(img, h, w) * 255.0 + 0.5, 0, 255)
     variables = {"params": state.params["model"],
                  "batch_stats": state.batch_stats}
     out = evaluate_scene_cached(model, variables, ds, imgs,

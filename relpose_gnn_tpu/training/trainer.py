@@ -76,9 +76,14 @@ class TrainState(struct.PyTreeNode):
 def make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
     """torch.optim.Adam semantics: L2 term added to the gradient before the
     Adam moments, then step-decayed learning rate."""
+    # with gradient accumulation, optax.MultiSteps makes the inner
+    # schedule count OPTIMIZER updates (one per k micro-steps), so the
+    # epoch length must be expressed in updates or the x0.1 step decay
+    # lands k times too late (review finding)
+    updates_per_epoch = max(1, cfg.steps_per_epoch // max(1, cfg.grad_accum))
     schedule = optax.exponential_decay(
         init_value=cfg.lr,
-        transition_steps=cfg.lr_decay_step * cfg.steps_per_epoch,
+        transition_steps=cfg.lr_decay_step * updates_per_epoch,
         decay_rate=cfg.lr_decay,
         staircase=True)
     parts = []

@@ -427,3 +427,39 @@ class TestConcatDtypePolicy:
             roots.append(root)
         with pytest.raises(ValueError, match="mixed image dtypes"):
             ConcatPackedDataset([PackedGraphDataset(r) for r in roots])
+
+
+class TestPerSceneNormalization:
+    def test_multiscene_batches_use_each_scenes_stats(self, tmp_path):
+        """The reference normalizes EACH scene with its own stats.txt;
+        a concat batch must not apply scene 0's stats to other scenes'
+        rows (review finding: 6 of 7 scenes trained mis-normalized)."""
+        from relpose_gnn_tpu.data.packed import (ConcatPackedDataset,
+                                                 PackedGraphDataset,
+                                                 PackedGraphWriter)
+        from relpose_gnn_tpu.data.pipeline import (data_iterator,
+                                                   device_prefetch)
+
+        stats = [([0.2] * 3, [0.5] * 3), ([0.6] * 3, [0.25] * 3)]
+        vals = [0.4, 0.8]
+        roots = []
+        for i, ((m, s), v) in enumerate(zip(stats, vals)):
+            root = str(tmp_path / f"sc{i}")
+            w = PackedGraphWriter(root, num_graphs=2, num_nodes=2,
+                                  height=4, width=4, mean=m, std=s)
+            for _ in range(2):
+                w.add(np.full((2, 4, 4, 3), v, np.float32),
+                      np.zeros((2, 6), np.float32), np.ones((2, 2), bool))
+            w.finalize()
+            roots.append(root)
+        ds = ConcatPackedDataset([PackedGraphDataset(r) for r in roots])
+        it = data_iterator(ds, batch_size=4, shuffle=False, epochs=1)
+        (batch,) = list(device_prefetch(it, ds.mean, ds.std))
+        imgs = np.asarray(batch["images"])
+        for i, ((m, s), v) in enumerate(zip(stats, vals)):
+            got = imgs[2 * i: 2 * i + 2]
+            want = (round(v * 255) / 255.0 - m[0]) / s[0]
+            np.testing.assert_allclose(got, want, atol=1e-6)
+        # the stats rows were consumed by the normalizer, not leaked into
+        # the training step's batch
+        assert "norm_mean" not in batch and "norm_std" not in batch

@@ -267,3 +267,47 @@ class TestPairMLP2Equivalence:
         assert jax.tree_util.tree_structure(ps) == \
             jax.tree_util.tree_structure(ms)
         assert ps == ms
+
+
+class TestGatedLayerOracle:
+    def test_matches_numpy_reference_semantics(self):
+        """simpleConvEdge_upt_att (my_gnn_layer.py:314-352): message =
+        mlp(cat[x_TARGET, x_SOURCE, e']) * sigmoid(mlp_att(e')), mean-
+        aggregated, then update mlp on [x, aggr].  Independent numpy
+        recomputation from the layer's own params — guards the operand
+        ORDER (a source/target swap passed the old shape-only test)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from relpose_gnn_tpu.models.gnn import DenseEdgeGNNGated
+
+        b, n, d = 2, 3, 4
+        rng = np.random.default_rng(7)
+        x = rng.normal(size=(b, n, d)).astype(np.float32)
+        e = rng.normal(size=(b, n, n, d)).astype(np.float32)
+        adj = rng.random((b, n, n)) < 0.7
+        layer = DenseEdgeGNNGated(node_dim=d, edge_dim=d, out_dim=d)
+        v = layer.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                       jnp.asarray(e), jnp.asarray(adj))
+        xn, en = layer.apply(v, jnp.asarray(x), jnp.asarray(e),
+                             jnp.asarray(adj))
+
+        p = jax.tree.map(np.asarray, v["params"])
+
+        def mlp2(params, inp):
+            h = np.maximum(inp @ params["fc1"]["kernel"]
+                           + params["fc1"]["bias"], 0)
+            return h @ params["fc2"]["kernel"] + params["fc2"]["bias"]
+
+        xs = np.broadcast_to(x[:, :, None, :], (b, n, n, d))  # source rows
+        xt = np.broadcast_to(x[:, None, :, :], (b, n, n, d))  # target cols
+        e_new = mlp2(p["edge_mlp"], np.concatenate([xs, xt, e], -1))
+        # PyG message(x_i, x_j, e'): TARGET then SOURCE
+        msg = mlp2(p["msg_mlp"], np.concatenate([xt, xs, e_new], -1))
+        gate = 1.0 / (1.0 + np.exp(-mlp2(p["gate_mlp"], e_new)))
+        w = adj.astype(np.float32)[..., None]
+        aggr = (msg * gate * w).sum(1) / np.maximum(w.sum(1), 1.0)
+        x_new = mlp2(p["upd_mlp"], np.concatenate([x, aggr], -1))
+
+        np.testing.assert_allclose(np.asarray(en), e_new, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(xn), x_new, atol=2e-5)
