@@ -26,16 +26,17 @@ asynchronous dispatch cannot fake throughput.  The tunnel round-trip
 (measured) is subtracted once.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} where
-vs_baseline is the speedup of the batched TPU-native path over the
-reference-protocol leg on identical hardware (the reference publishes no
-throughput numbers of its own, BASELINE.md).  Honest-reporting note: the
-baseline leg's per-query sync inherits this setup's ~30 ms tunnel RTT,
-which is larger than a local PCIe sync; `vs_baseline_est_local` therefore
-ALSO reports the RTT-free ratio — batched throughput over the bs=1
-program's pure device rate (chained-accumulator timing) — which LOWER-
-bounds the protocol gap on directly-attached hardware (a real local sync
-would only slow the baseline further).  The measured leg's absolute q/s
-is RTT-free either way.
+`vs_baseline` is the RTT-FREE speedup of the batched TPU-native path over
+the reference's bs=1 protocol on identical hardware: batched throughput
+over the bs=1 program's pure device rate (chained-accumulator timing).
+That is a LOWER bound on the protocol gap on directly-attached hardware —
+a real per-query host sync would only slow the baseline further.  The raw
+measured protocol ratio, whose per-query sync inherits this setup's
+~30 ms tunnel RTT, is reported separately as `vs_baseline_tunnel_rtt`
+(bigger, but an artifact of the tunnel — the defensible number is the
+headline; VERDICT r2 weak #2).  The measured leg's absolute q/s is
+RTT-free either way.  (The reference publishes no throughput numbers of
+its own, BASELINE.md.)
 
 `mfu` = achieved FLOP/s over the chip's dense bf16 peak, with the
 serving step's FLOP count taken from XLA's own compiled cost analysis
@@ -54,22 +55,29 @@ import jax
 import jax.numpy as jnp
 
 
-# dense bf16 peak FLOP/s per chip, by device kind (public spec sheets)
+# dense bf16 peak FLOP/s per chip, by EXACT device kind (public spec
+# sheets).  Exact match only: a silent startswith/default fallback made MFU
+# quietly wrong on unlisted hardware (ADVICE r2 #1) — unknown kinds now
+# report mfu=null with a stderr warning instead.
 _PEAK_BF16 = {
     "TPU v5 lite": 197e12,   # v5e
     "TPU v5e": 197e12,
     "TPU v5": 459e12,        # v5p
+    "TPU v5p": 459e12,
     "TPU v4": 275e12,
     "TPU v6 lite": 918e12,   # v6e / Trillium
+    "TPU v6e": 918e12,
 }
 
 
-def chip_peak_flops() -> float:
+def chip_peak_flops() -> float | None:
     kind = jax.devices()[0].device_kind
-    for k, v in _PEAK_BF16.items():
-        if kind.startswith(k):
-            return v
-    return 197e12  # conservative default: v5e
+    peak = _PEAK_BF16.get(kind)
+    if peak is None:
+        import sys
+        print(f"bench: unknown device kind {kind!r}; reporting mfu=null",
+              file=sys.stderr)
+    return peak
 
 
 def measure_rtt() -> float:
@@ -248,15 +256,22 @@ def main():
 
     # MFU: XLA's own FLOP count for one serving step (backbone on the query
     # + gathered-embedding GNN), achieved-over-peak on this chip
-    mfu = (step_flops * args.iters / dt) / chip_peak_flops()
+    peak = chip_peak_flops()
+    mfu = (step_flops * args.iters / dt) / peak if peak else None
 
+    # headline `vs_baseline` is the DEFENSIBLE number: batched throughput
+    # over the bs=1 program's pure device rate (RTT-free on both legs —
+    # a lower bound on the protocol gap on directly-attached hardware).
+    # The raw reference-protocol ratio inherits this setup's ~30 ms tunnel
+    # RTT in its per-query host sync and is reported under an explicit
+    # name instead of as the headline (VERDICT r2 weak #2).
     print(json.dumps({
         "metric": "relocalization queries/sec/chip",
         "value": round(qps, 2),
         "unit": "queries/s",
-        "vs_baseline": round(qps / qps_ref_protocol, 2),
-        "vs_baseline_est_local": round(qps / qps_ref_local, 2),
-        "mfu": round(mfu, 4),
+        "vs_baseline": round(qps / qps_ref_local, 2),
+        "vs_baseline_tunnel_rtt": round(qps / qps_ref_protocol, 2),
+        "mfu": round(mfu, 4) if mfu is not None else None,
         "step_gflops": round(step_flops / 1e9, 2),
         "device": jax.devices()[0].device_kind,
     }))

@@ -23,6 +23,10 @@ def parse_args(argv):
     p.add_argument("--serving-data-path", type=str, default=None,
                    help="raw dataset root; enables the cached-embedding "
                         "serving path when graph stores carry nbr_idx")
+    p.add_argument("--allow-random-init", action="store_true",
+                   help="evaluate RANDOM-INIT weights when the weights "
+                        "path is missing (smoke mode); without this a bad "
+                        "path is a hard error")
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--knn", default=4, type=int)
     p.add_argument("--dtype", default="bfloat16",
@@ -48,6 +52,7 @@ def main(argv=None):
         exp_name="eval", model_name=args.model_name,
         batch_size=args.batch_size, seed=args.seed, knn=args.knn,
         weights_filename=args.weights_filename,
+        allow_random_init=args.allow_random_init,
         pose_stats_file=args.pose_stat_path, dtype=args.dtype,
         seq_len=args.seq_len, backbone=args.backbone,
         feat_dim=args.feat_dim, gnn_recursion=args.gnn_recursion,

@@ -32,7 +32,15 @@ def create_mesh(n_data: int | None = None, n_model: int = 1,
     want = n_data * n_model
     assert want <= n, (n_data, n_model, n)
     # a mesh smaller than the machine is fine (e.g. dp-only eval on a
-    # subset); take the first want devices
+    # subset); take the first `want` devices — but say so, because a typo'd
+    # config on a real multi-chip machine would otherwise quietly idle the
+    # remaining chips (ADVICE r2 #2)
+    if want < n:
+        import logging
+        logging.getLogger("relpose_gnn_tpu").warning(
+            "mesh uses %d of %d available devices (data=%d x model=%d); "
+            "%d device(s) will sit idle", want, n, n_data, n_model,
+            n - want)
     arr = np.asarray(devices[:want]).reshape(n_data, n_model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 

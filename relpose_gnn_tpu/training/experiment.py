@@ -59,6 +59,11 @@ class ExperimentConfig:
     saq: float = -2.0
     lambda_ap: float = 0.0
     weights_filename: str = ""
+    allow_random_init: bool = False    # run_eval: permit missing weights
+    #                                    (random-init smoke mode); without
+    #                                    it a bad weights path hard-fails
+    #                                    instead of producing plausible-
+    #                                    looking garbage medians
     pose_stats_file: str = ""          # Cambridge translation stats
     dtype: str = "bfloat16"
     backbone: str = "resnet34"         # test hook / stretch configs
@@ -68,6 +73,19 @@ class ExperimentConfig:
     #                                    reference has none, SURVEY §5)
     mesh_data: int = 0                 # >0: train over a (data, model) mesh
     mesh_model: int = 1                # tensor-parallel axis size
+
+
+def static_anchor_for(cfg: ExperimentConfig) -> int | None:
+    """Anchor rule (testing/test.py:227-229): dynamic kNN graph -> nearest
+    pre-GNN neighbor (None here; make_eval_step computes it); static fc
+    graph (knn=0) -> first edge into node 0 in construction order, which
+    for the fc table is node 1.  Used by BOTH run_eval and run_training's
+    in-loop eval so the two report medians under ONE protocol (VERDICT r2
+    weak #1: they previously disagreed for knn=0 configs)."""
+    if cfg.knn != 0:
+        return None
+    from relpose_gnn_tpu.ops.graph import fc_edge_index, first_edge_anchor
+    return first_edge_anchor(fc_edge_index(cfg.seq_len))
 
 
 def scene_lists(cfg: ExperimentConfig) -> tuple[list[str], list[str]]:
@@ -257,7 +275,8 @@ def run_training(cfg: ExperimentConfig) -> dict:
                   and jax.default_backend() == "cpu")
 
     train_step = make_train_step(tcfg)
-    eval_step = make_eval_step(ref_node=0)
+    eval_step = make_eval_step(ref_node=0,
+                               static_anchor=static_anchor_for(cfg))
     mean_t, std_t = pose_stats(cfg)
     rng = jax.random.PRNGKey(cfg.seed)
 
@@ -347,22 +366,26 @@ def run_eval(cfg: ExperimentConfig, weights: str | None = None,
             state = ckpt.load_torch_weights(state, weights)
         elif osp.isdir(weights) or osp.isfile(weights):
             state = ckpt.restore_checkpoint(weights, state)
-        else:
+        elif cfg.allow_random_init:
             logger.warning(
                 "weights path %s does not exist — evaluating RANDOM "
-                "INIT weights (smoke mode)", weights)
+                "INIT weights (smoke mode, --allow-random-init)", weights)
+        else:
+            # a typo'd path silently producing plausible-looking garbage
+            # medians is worse than an error (VERDICT r2 weak #5)
+            raise FileNotFoundError(
+                f"weights path {weights!r} does not exist (pass "
+                f"allow_random_init / --allow-random-init to evaluate "
+                f"random-init weights as a smoke test)")
         if osp.exists(weights):
             logger.info("Loaded weights from %s", weights)
+    elif not cfg.allow_random_init:
+        raise ValueError(
+            "run_eval called with no weights; pass allow_random_init / "
+            "--allow-random-init to evaluate random-init weights")
 
-    # anchor rule (testing/test.py:227-229): dynamic kNN graph -> nearest
-    # pre-GNN neighbor; static fc graph (knn=0) -> first edge in
-    # construction order, which for the fc table is node 1
-    static_anchor = None
-    if cfg.knn == 0:
-        from relpose_gnn_tpu.ops.graph import (fc_edge_index,
-                                               first_edge_anchor)
-        static_anchor = first_edge_anchor(fc_edge_index(cfg.seq_len))
-    eval_step = make_eval_step(ref_node=0, static_anchor=static_anchor)
+    eval_step = make_eval_step(ref_node=0,
+                               static_anchor=static_anchor_for(cfg))
     mean_t, std_t = pose_stats(cfg)
 
     # optional multi-chip eval: params replicated, batch sharded over

@@ -13,11 +13,15 @@ os.environ["JAX_PLATFORMS"] = "cpu"  # override the session's axon setting
 # executions fail to co-schedule within 40 s (rendezvous.cc).  On a 1-core
 # host running an 8-device virtual mesh the participants time-slice one
 # core, so under load the deadline is flaky by construction — raise it.
-# Must be set before the backend initializes.
+# 180 s is far above the observed co-scheduling jitter (seconds) but keeps
+# a GENUINE collective deadlock bounded well inside the foreground-command
+# budget (ADVICE r2 #5: the earlier 900 s traded flakiness for a
+# 15-minute hang per real deadlock).  Must be set before the backend
+# initializes.
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
-    + " --xla_cpu_collective_call_terminate_timeout_seconds=900"
-    + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300")
+    + " --xla_cpu_collective_call_terminate_timeout_seconds=180"
+    + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120")
 
 # make the suite runnable from any cwd (pytest /root/repo/tests ...)
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
