@@ -18,10 +18,23 @@ earlier revision of this module wrongly reduced the block to x + W(g(x));
 see ADVICE.md round 1, finding #1.)
 
 Leading dims are arbitrary — the GNN applies this per edge on
-[..., N, N, C] message tensors.  The [..., C/8, C/8] logit tensor is
-materialised; at the production dim 2048 that is a 256x256 block per item,
-which XLA fuses with the surrounding matmuls (production configs have
-use_attention=False, so this path is ablation-scale).
+[..., N, N, C] message tensors, i.e. in the production R3 config this
+block runs on EVERY message of every GNN recursion (the model-level
+`use_attention` flag is a separate, off-by-default ablation).  On the
+XLA path the [..., C/8, C/8] logit tensor is materialised in HBM — pure
+bandwidth waste that the fused Pallas core (ops/att_pallas.py) avoids.
+
+Kernel gating (trace-time):
+  * explicit `use_pallas` / module-level USE_PALLAS_DEFAULT force a branch;
+  * auto = TPU backend + lane-aligned bottleneck (C/8 % 128 == 0);
+  * under an ambient mesh (jax.set_mesh context with >1 device) the kernel
+    runs through the shard_map wrapper `attention_core_sharded` — the E
+    axis shards over `data` with no collectives — provided E divides the
+    axis; otherwise the XLA branch (which GSPMD partitions natively) is
+    used and logged once.  Programs with NO ambient mesh are single-device
+    by construction (even on a multi-chip host), so they keep the plain
+    kernel (ADVICE r2 #4).  Repo convention: every multi-device program
+    runs under `jax.set_mesh` (experiment.py, dryrun, tests).
 """
 
 from __future__ import annotations
@@ -33,9 +46,22 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 # Session-wide override for modules constructed without an explicit
-# use_pallas (e.g. inside the GNN layers): None = auto (TPU + lane-aligned
-# bottleneck), True/False = force.  A/B escape hatch.
+# use_pallas (e.g. inside the GNN layers): None = auto (see module
+# docstring), True/False = force.  A/B escape hatch; forcing True on a
+# non-TPU backend runs the kernel in interpret mode (tests/dryrun).
 USE_PALLAS_DEFAULT: bool | None = None
+
+_logged_fallback = set()  # one log per distinct auto-disable reason
+
+
+def _log_once(reason: str) -> None:
+    if reason not in _logged_fallback:
+        _logged_fallback.add(reason)
+        import logging
+        logging.getLogger("relpose_gnn_tpu").info(
+            "AttentionBlock: fused Pallas kernel auto-disabled (%s); "
+            "using the XLA branch (set models.attention.USE_PALLAS_DEFAULT "
+            "to force)", reason)
 
 
 class AttentionBlock(nn.Module):
@@ -54,24 +80,46 @@ class AttentionBlock(nn.Module):
         # the [.., C/8, C/8] logits are pure HBM waste (three consumers, so
         # XLA materializes them); the fused Pallas core keeps them in VMEM
         # (ops/att_pallas.py, measured ~23x on the production shape).
+        from relpose_gnn_tpu.ops.att_pallas import (attention_core,
+                                                    attention_core_sharded,
+                                                    sharded_axis_for)
+        lead = phi_x.shape[:-1]
+        e_total = 1
+        for d in lead:
+            e_total *= d
+        mesh = jax.sharding.get_abstract_mesh()
+        axis = sharded_axis_for(mesh)  # None = no/trivial ambient mesh
+
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = USE_PALLAS_DEFAULT
         if use_pallas is None:
-            # auto: single TPU chip with a lane-aligned bottleneck only.
-            # Under a multi-device mesh the Mosaic custom call has no SPMD
-            # partitioning rule, so GSPMD would replicate/all-gather the
-            # sharded activations (or fail to partition); the XLA branch
-            # shards cleanly, so multi-chip keeps it until the kernel
-            # grows a shard_map/custom-partitioning wrapper.
-            use_pallas = (jax.default_backend() == "tpu"
-                          and len(jax.devices()) == 1 and c8 % 128 == 0)
+            # auto: TPU backend + lane-aligned bottleneck.  No ambient
+            # mesh -> the program is single-device (even on a multi-chip
+            # host): plain kernel.  Ambient mesh -> shard_map wrapper,
+            # provided E divides the data axis; else the XLA branch,
+            # which GSPMD partitions natively.
+            if jax.default_backend() != "tpu":
+                use_pallas = False
+            elif c8 % 128 != 0:
+                use_pallas = False
+                _log_once(f"bottleneck dim {c8} not lane-aligned")
+            elif axis is not None and e_total % mesh.shape[axis] != 0:
+                use_pallas = False
+                _log_once(f"E={e_total} not divisible by mesh axis "
+                          f"{axis}={mesh.shape[axis]}")
+            else:
+                use_pallas = True
         if use_pallas:
-            from relpose_gnn_tpu.ops.att_pallas import attention_core
-            lead = phi_x.shape[:-1]
-            y = attention_core(phi_x.reshape(-1, c8),
-                               theta_x.reshape(-1, c8),
-                               g_x.reshape(-1, c8))
+            # forcing True on a non-TPU backend (tests, CPU-mesh dryrun)
+            # runs the kernel in interpret mode
+            interpret = jax.default_backend() != "tpu"
+            p2, t2, g2 = (a.reshape(-1, c8) for a in (phi_x, theta_x, g_x))
+            if axis is not None:
+                y = attention_core_sharded(p2, t2, g2, mesh,
+                                           interpret=interpret)
+            else:
+                y = attention_core(p2, t2, g2, interpret=interpret)
             y = y.reshape(*lead, c8).astype(g_x.dtype)
         else:
             # same math as the kernel's parity oracle — call it, don't

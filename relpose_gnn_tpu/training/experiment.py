@@ -280,7 +280,25 @@ def run_training(cfg: ExperimentConfig) -> dict:
     mean_t, std_t = pose_stats(cfg)
     rng = jax.random.PRNGKey(cfg.seed)
 
+    # repo convention: multi-device programs trace under jax.set_mesh so
+    # mesh-aware modules (the Pallas attention core's shard_map wrapper,
+    # models/attention.py) can see the ambient mesh
+    import contextlib
+    mesh_ctx = (jax.set_mesh(mesh) if batch_shardings is not None
+                else contextlib.nullcontext())
+
     best = {s: {"median_t": 1e6, "median_q": 1e6} for s in test_ds}
+    with mesh_ctx:
+        return _training_loop(cfg, tcfg, logger, metrics_out, train_feed,
+                              test_ds, batch_size, state, train_step,
+                              eval_step, batch_shardings, sync_steps,
+                              mean_t, std_t, rng, best, logdir)
+
+
+def _training_loop(cfg, tcfg, logger, metrics_out, train_feed, test_ds,
+                   batch_size, state, train_step, eval_step,
+                   batch_shardings, sync_steps, mean_t, std_t, rng, best,
+                   logdir) -> dict:
     for epoch in range(cfg.max_epoch):
         if cfg.recover_nonfinite:
             epoch_start = jax.tree.map(jnp.copy, (state.params,
@@ -389,9 +407,10 @@ def run_eval(cfg: ExperimentConfig, weights: str | None = None,
     mean_t, std_t = pose_stats(cfg)
 
     # optional multi-chip eval: params replicated, batch sharded over
-    # `data`; ragged final batches are padded to the data-axis size in
-    # evaluate_scene (the serving-path branch below is single-chip)
-    eval_shardings, pad_multiple = None, 1
+    # `data`; ragged final batches are padded to the data-axis size
+    # (BOTH branches — plain batched eval in evaluate_scene and the
+    # cached-embedding serving path in evaluate_scene_cached)
+    eval_shardings, pad_multiple, mesh = None, 1, None
     if cfg.mesh_data > 0:
         from relpose_gnn_tpu.parallel.mesh import create_mesh
         from relpose_gnn_tpu.parallel.sharding import (batch_sharding,
@@ -405,26 +424,71 @@ def run_eval(cfg: ExperimentConfig, weights: str | None = None,
         logger.info("mesh eval: %s",
                     dict(zip(mesh.axis_names, mesh.devices.shape)))
 
+    # trace under the ambient mesh (see run_training) so the fused
+    # attention kernel stays enabled through its shard_map wrapper
+    import contextlib
+    mesh_ctx = (jax.set_mesh(mesh) if mesh is not None
+                else contextlib.nullcontext())
     results = {}
-    for s, ds in test_ds.items():
-        if serving_data_path is not None and ds.nbr_idx is not None:
-            err = _evaluate_scene_serving(cfg, model, state, ds, s,
-                                          serving_data_path, mean_t, std_t)
-        else:
-            err = evaluate_scene(eval_step, state, ds, cfg.batch_size,
-                                 mean_t, std_t, sharding=eval_shardings,
-                                 pad_multiple=pad_multiple)
-        logger.info("[scene %s] %s", s, err)
-        if save_predictions:
-            save_poses(str(logdir), s, err, rel_paths=ds.rel_paths)
-        results[s] = err
+    with mesh_ctx:
+        for s, ds in test_ds.items():
+            if serving_data_path is not None and ds.nbr_idx is not None:
+                err = _evaluate_scene_serving(cfg, model, state, ds, s,
+                                              serving_data_path, mean_t,
+                                              std_t, mesh=mesh)
+            else:
+                err = evaluate_scene(eval_step, state, ds, cfg.batch_size,
+                                     mean_t, std_t,
+                                     sharding=eval_shardings,
+                                     pad_multiple=pad_multiple)
+            logger.info("[scene %s] %s", s, err)
+            if save_predictions:
+                save_poses(str(logdir), s, err, rel_paths=ds.rel_paths)
+            results[s] = err
     return results
 
 
+def load_database_images(database, h: int, w: int) -> np.ndarray:
+    """Load a database split as uint8 [M, H, W, 3] for serving eval.
+
+    uint8: 4x less RAM than float32 for a multi-thousand-frame split, and
+    matches the packed stores' quantization (the device normalizer keys
+    /255 on uint8).  Corrupt frames (load_image -> None) are substituted
+    with the NEXT valid frame — the reference's skip-forward contract
+    (seven_scenes loaders) — instead of staying all-zero and getting
+    embedded as garbage neighbors (ADVICE r2 #3)."""
+    from relpose_gnn_tpu.data.graph_builder import _fit
+
+    imgs = np.zeros((len(database), h, w, 3), np.uint8)
+    invalid = np.zeros(len(database), bool)
+    for i in range(len(database)):
+        img = database.load_image(i)
+        if img is None:
+            invalid[i] = True
+        else:
+            imgs[i] = np.clip(_fit(img, h, w) * 255.0 + 0.5, 0, 255)
+    if invalid.any():
+        valid_idx = np.flatnonzero(~invalid)
+        if len(valid_idx) == 0:
+            raise ValueError("database has no readable frames")
+        bad = np.flatnonzero(invalid)
+        # next valid index >= each bad index (wrap to the last valid one)
+        pos = np.clip(np.searchsorted(valid_idx, bad), 0,
+                      len(valid_idx) - 1)
+        imgs[bad] = imgs[valid_idx[pos]]
+        get_logger().warning(
+            "serving database: %d corrupt frame(s) substituted with the "
+            "next valid frame (indices %s)", len(bad), bad[:10].tolist())
+    return imgs
+
+
 def _evaluate_scene_serving(cfg: ExperimentConfig, model, state, ds,
-                            scene: str, raw_data_path: str, mean_t, std_t):
+                            scene: str, raw_data_path: str, mean_t, std_t,
+                            mesh=None):
     """Cached-embedding serving over one scene: database = the scene's
-    train split (the graph builder's neighbor source)."""
+    train split (the graph builder's neighbor source).  With `mesh`, the
+    whole path (database embedding + per-batch query encode) shards over
+    the `data` axis (evaluation/serving.py)."""
     from relpose_gnn_tpu.evaluation.serving import evaluate_scene_cached
 
     h, w = ds.meta["height"], ds.meta["width"]
@@ -441,19 +505,10 @@ def _evaluate_scene_serving(cfg: ExperimentConfig, model, state, ds,
             pose_stats_file=cfg.pose_stats_file or None,
             normalize_translation=bool(cfg.pose_stats_file),
             normalize_images=False)
-    # uint8: 4x less RAM than float32 for a multi-thousand-frame split,
-    # and matches the packed stores' quantization (the device normalizer
-    # keys /255 on uint8); corrupt frames (load_image -> None, the
-    # documented skip contract) stay zeros rather than crashing the eval
-    imgs = np.zeros((len(database), h, w, 3), np.uint8)
-    from relpose_gnn_tpu.data.graph_builder import _fit
-    for i in range(len(database)):
-        img = database.load_image(i)
-        if img is not None:
-            imgs[i] = np.clip(_fit(img, h, w) * 255.0 + 0.5, 0, 255)
+    imgs = load_database_images(database, h, w)
     variables = {"params": state.params["model"],
                  "batch_stats": state.batch_stats}
     out = evaluate_scene_cached(model, variables, ds, imgs,
-                                batch_size=cfg.batch_size)
+                                batch_size=cfg.batch_size, mesh=mesh)
     return compute_pose_errors(out["pred"], out["target"],
                                pose_mean=mean_t, pose_std=std_t)
