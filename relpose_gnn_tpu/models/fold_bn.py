@@ -61,12 +61,43 @@ def fold_resnet_bn(params: dict, batch_stats: dict) -> dict:
     return out
 
 
-def fold_relpose_backbone(model_cfg, variables: dict):
+def space_to_depth_conv1(conv1: dict) -> dict:
+    """Transform a 7x7/s2 stem conv into its space-to-depth form.
+
+    Checkpoint-equivalent weight transform (no retraining): zero-pad the
+    kernel 7->8 on the leading spatial taps (output pixel o samples input
+    rows 2o-3..2o+3; the 8-tap window 2o-4..2o+3 starts on an even pixel,
+    with tap 0 always multiplied by zero), then regroup each 2x2 pixel
+    block into channels:
+
+        K_s2d[ki, kj, dy*2*C + dx*C + c, o] = K8[2*ki + dy, 2*kj + dx, c, o]
+
+    The matching input packing + asymmetric (2,1) padding live in
+    ResNet.__call__ (s2d_stem=True).  Bias (if present) is unchanged.
+    Exactness is asserted by tests/test_fold_bn.py (f32, both parities of
+    the input extent)."""
+    k = np.asarray(conv1["kernel"], np.float32)
+    assert k.shape[:2] == (7, 7), k.shape
+    c_in, c_out = k.shape[2], k.shape[3]
+    k8 = np.zeros((8, 8, c_in, c_out), np.float32)
+    k8[1:, 1:] = k
+    ks = k8.reshape(4, 2, 4, 2, c_in, c_out).transpose(0, 2, 1, 3, 4, 5)
+    ks = ks.reshape(4, 4, 4 * c_in, c_out)
+    out = dict(conv1)
+    out["kernel"] = jnp.asarray(ks)
+    return out
+
+
+def fold_relpose_backbone(model_cfg, variables: dict,
+                          s2d_stem: bool = False):
     """Fold the RelPoseGNN backbone's BN for serving.
 
     Returns (folded_cfg, folded_variables): same model with
     `backbone`'s ResNet in folded form; GNN/head params unchanged.
-    Only ResNet backbones fold (ViT has no BN).
+    Only ResNet backbones fold (ViT has no BN).  With `s2d_stem`, conv1
+    is additionally rewritten into its space-to-depth form (see
+    space_to_depth_conv1) — the serving stem that keeps the MXU
+    contraction dim at 12 instead of 3.
     """
     import dataclasses
 
@@ -76,9 +107,13 @@ def fold_relpose_backbone(model_cfg, variables: dict):
     assert model_cfg.backbone in ("resnet34", "resnet18"), model_cfg.backbone
     params = dict(variables["params"])
     stats = variables.get("batch_stats", {})
-    params["encoder"] = fold_resnet_bn(
+    enc = fold_resnet_bn(
         dict(params["encoder"]), dict(stats.get("encoder", {})))
-    folded_cfg = dataclasses.replace(model_cfg, bn_folded=True)
+    if s2d_stem:
+        enc["conv1"] = space_to_depth_conv1(enc["conv1"])
+    params["encoder"] = enc
+    folded_cfg = dataclasses.replace(model_cfg, bn_folded=True,
+                                     s2d_stem=s2d_stem)
     return folded_cfg, {"params": params, "batch_stats": {}}
 
 

@@ -63,6 +63,9 @@ class RelPoseGNNConfig:
     #                             enables larger train batches)
     bn_folded: bool = False     # serving form: BN folded into conv weights
     #                             (models/fold_bn.py; eval only)
+    s2d_stem: bool = False      # serving form: space-to-depth conv1
+    #                             (fold_bn.space_to_depth_conv1 transforms
+    #                             the checkpoint weights; eval only)
 
     @classmethod
     def preset(cls, name: str, **overrides) -> "RelPoseGNNConfig":
@@ -93,11 +96,13 @@ class RelPoseGNN(nn.Module):
         if c.backbone == "resnet34":
             self.encoder = resnet_cls(stage_sizes=(3, 4, 6, 3),
                                       feat_dim=c.feat_dim, dtype=c.dtype,
-                                      folded=c.bn_folded)
+                                      folded=c.bn_folded,
+                                      s2d_stem=c.s2d_stem)
         elif c.backbone == "resnet18":
             self.encoder = resnet_cls(stage_sizes=(2, 2, 2, 2),
                                       feat_dim=c.feat_dim, dtype=c.dtype,
-                                      folded=c.bn_folded)
+                                      folded=c.bn_folded,
+                                      s2d_stem=c.s2d_stem)
         elif c.backbone == "vit":
             from relpose_gnn_tpu.models.vit import ViTEncoder
             vit_cls = (nn.remat(ViTEncoder, static_argnums=(2,))

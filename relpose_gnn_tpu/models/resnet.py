@@ -68,14 +68,36 @@ class ResNet(nn.Module):
     feat_dim: int = 2048
     dtype: Any = None
     folded: bool = False  # BN folded into conv weights (inference form)
+    s2d_stem: bool = False  # space-to-depth form of conv1 (serving form;
+    #                         weights transformed by
+    #                         fold_bn.space_to_depth_conv1 — NOT retrained)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         """x: [B, H, W, 3] NHWC -> [B, feat_dim]."""
         x = x.astype(self.dtype or x.dtype)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3,
-                    use_bias=self.folded, dtype=self.dtype,
-                    name="conv1")(x)
+        if self.s2d_stem:
+            # Space-to-depth stem: the 7x7/s2 conv over 3 channels keeps
+            # the MXU contraction dim at 3 (padded to the full register
+            # lane, mostly wasted).  Mathematically identical form: pack
+            # 2x2 pixel blocks into channels ([B,H/2,W/2,12]) and run the
+            # transformed 4x4/s1 kernel (zero-padded 7->8, regrouped) with
+            # asymmetric padding (2,1) — output bitwise-equivalent modulo
+            # f32 reassociation (tests/test_fold_bn.py asserts <=1e-5).
+            b, h, w, c = x.shape
+            ph, pw = h % 2, w % 2
+            if ph or pw:
+                x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+            h2, w2 = (h + ph) // 2, (w + pw) // 2
+            x = x.reshape(b, h2, 2, w2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+            x = x.reshape(b, h2, w2, 4 * c)
+            x = nn.Conv(64, (4, 4), strides=(1, 1),
+                        padding=((2, 1), (2, 1)), use_bias=self.folded,
+                        dtype=self.dtype, name="conv1")(x)
+        else:
+            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3,
+                        use_bias=self.folded, dtype=self.dtype,
+                        name="conv1")(x)
         if not self.folded:
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
