@@ -10,7 +10,10 @@ Re-implementation of `SevenScenes` (datasets/seven_scenes.py:17-174):
   * poses converted to pose6 `[t, logq]` via `process_poses`;
   * corrupt images: `load_image` -> None with skip-forward handled by the
     caller/pipeline (the reference loops forward inside __getitem__,
-    :126-144).
+    :126-144);
+  * `real=True` SLAM/VO mode: per-sequence `<vo_lib>_poses/seq-NN.txt`
+    pose tables + `<vo_lib>_vo_stats.pkl` Sim(3) alignment, with `gt_idx`
+    mapping served frames back to ground-truth rows (:79-101).
 
 Scene constants mirror train.py:88 / dataset_7Scenes_multi.py:80-110.
 """
@@ -54,6 +57,12 @@ class SevenScenes:
     mean: np.ndarray | None = None  # per-scene stats normalization
     std: np.ndarray | None = None
     mode: int = 0  # 0: RGB, 1: depth, 2: (RGB, depth) — seven_scenes.py:29
+    real: bool = False  # True: SLAM/VO poses + per-seq alignment stats
+    #                     (seven_scenes.py:79-99); feeds the MapNet/PGO
+    #                     experiment family
+    vo_lib: str = "orbslam"  # '<vo_lib>_poses/seq-NN.txt' + per-seq
+    #                          '<vo_lib>_vo_stats.pkl'; 'libviso2' frame
+    #                          indices are 1-based (seven_scenes.py:83-85)
 
     def __post_init__(self):
         base = osp.join(osp.expanduser(str(self.data_path)), self.scene)
@@ -64,7 +73,14 @@ class SevenScenes:
 
         self.c_imgs: list[str] = []
         self.d_imgs: list[str] = []
-        raw_poses = []
+        # frame index into the GROUND-TRUTH pose stream for each served
+        # frame: with real=False it is arange(n); with real=True only
+        # frames the VO/SLAM system tracked appear, and gt_idx maps each
+        # back to its GT row (seven_scenes.py:56,100-101) — the eval
+        # protocol uses it to fetch matching GT poses
+        self.gt_idx = np.empty((0,), np.int64)
+        gt_offset = 0
+        pose_blocks: list[np.ndarray] = []
         for seq in seqs:
             seq_dir = osp.join(base, f"seq-{seq:02d}")
             if not osp.isfile(osp.join(seq_dir, "frame-000000.color.png")):
@@ -75,20 +91,45 @@ class SevenScenes:
                 pose_dir = rgb_dir = depth_dir = seq_dir
             n_frames = len([n for n in os.listdir(pose_dir)
                             if "pose.txt" in n])
-            for i in range(n_frames):
-                pose = np.loadtxt(
-                    osp.join(pose_dir, f"frame-{i:06d}.pose.txt"))
-                raw_poses.append(pose.flatten()[:12])
+            if self.real:
+                # VO/SLAM pose table: rows [frame_idx, R|t flattened(12)]
+                # (seven_scenes.py:79-86); alignment Sim(3) from the
+                # per-sequence vo_stats pickle {'R','t','s'} (:87-92).
+                # (The reference reads these via an un-expanduser'd
+                # duplicate of base_dir, :44 — not replicated.)
+                pss = np.loadtxt(osp.join(base, f"{self.vo_lib}_poses",
+                                          f"seq-{seq:02d}.txt"), ndmin=2)
+                frame_idx = pss[:, 0].astype(np.int64)
+                if self.vo_lib == "libviso2":
+                    frame_idx = frame_idx - 1
+                raw = pss[:, 1:13]
+                import pickle
+                with open(osp.join(seq_dir,
+                                   f"{self.vo_lib}_vo_stats.pkl"),
+                          "rb") as f:
+                    vo = pickle.load(f)
+                align_R = np.asarray(vo["R"], np.float64)
+                align_t = np.asarray(vo["t"], np.float64).reshape(3)
+                align_s = float(vo["s"])
+            else:
+                frame_idx = np.arange(n_frames)
+                raw = np.asarray([
+                    np.loadtxt(osp.join(
+                        pose_dir, f"frame-{i:06d}.pose.txt")).flatten()[:12]
+                    for i in frame_idx])
+                align_R, align_t, align_s = np.eye(3), np.zeros(3), 1.0
+            self.gt_idx = np.hstack([self.gt_idx, gt_offset + frame_idx])
+            gt_offset += n_frames
+            for i in frame_idx:
                 self.c_imgs.append(
                     osp.join(rgb_dir, f"frame-{i:06d}.color.png"))
                 self.d_imgs.append(
                     osp.join(depth_dir, f"frame-{i:06d}.depth.png"))
-
-        raw = np.asarray(raw_poses)
-        # identity alignment / no normalization (seven_scenes.py:112-124)
-        self.poses = process_poses(raw, np.zeros(3), np.ones(3),
-                                   np.eye(3), np.zeros(3), 1.0
-                                   ).astype(np.float32)
+            # per-sequence alignment, no translation normalization
+            # (seven_scenes.py:112-124)
+            pose_blocks.append(process_poses(
+                raw, np.zeros(3), np.ones(3), align_R, align_t, align_s))
+        self.poses = np.vstack(pose_blocks).astype(np.float32)
 
     def __len__(self) -> int:
         return len(self.poses)

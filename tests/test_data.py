@@ -49,6 +49,44 @@ def write_7scenes_fixture(root, scene="chess", n_seqs=2, n_frames=4,
     return poses
 
 
+def write_7scenes_vo_fixture(root, scene="chess", vo_lib="orbslam",
+                             n_seqs=2, n_frames=4, train=True,
+                             size=(64, 48)):
+    """On top of the GT fixture, write the `real` mode's artifacts
+    (seven_scenes.py:79-92): per-seq `<vo_lib>_poses/seq-NN.txt` tables
+    [frame_idx, R|t(12)] covering a SUBSET of frames (VO loses some), and
+    per-seq `<vo_lib>_vo_stats.pkl` Sim(3) alignments {'R','t','s'}.
+    Returns (tracked frame indices per seq, vo pose rows per seq, stats)."""
+    import pickle
+
+    gt = write_7scenes_fixture(root, scene, n_seqs, n_frames, train, size)
+    rng = np.random.default_rng(5)
+    base = osp.join(root, scene)
+    vo_dir = osp.join(base, f"{vo_lib}_poses")
+    os.makedirs(vo_dir, exist_ok=True)
+    tracked, vo_rows, stats = [], [], []
+    offset = 1 if vo_lib == "libviso2" else 0  # 1-based frame indices
+    for s in range(1, n_seqs + 1):
+        idx = np.sort(rng.choice(n_frames, size=n_frames - 1,
+                                 replace=False))
+        rows = np.zeros((len(idx), 13))
+        rows[:, 0] = idx + offset
+        for j, i in enumerate(idx):
+            R = Rotation.random(rng=rng).as_matrix()
+            t = rng.normal(size=3)
+            rows[j, 1:] = np.hstack([R, t[:, None]]).reshape(12)
+        np.savetxt(osp.join(vo_dir, f"seq-{s:02d}.txt"), rows)
+        st = {"R": Rotation.random(rng=rng).as_matrix(),
+              "t": rng.normal(size=3), "s": float(rng.uniform(0.5, 2.0))}
+        with open(osp.join(base, f"seq-{s:02d}",
+                           f"{vo_lib}_vo_stats.pkl"), "wb") as f:
+            pickle.dump(st, f)
+        tracked.append(idx)
+        vo_rows.append(rows)
+        stats.append(st)
+    return gt, tracked, vo_rows, stats
+
+
 def write_cambridge_fixture(root, scene="ShopFacade", n=6, train=True,
                             size=(64, 48)):
     rng = np.random.default_rng(1)
@@ -120,6 +158,54 @@ class TestSevenScenesParser:
             q = np.asarray(pose_ops.qexp(jnp.asarray(ds.poses[i:i + 1, 3:])))
             R2 = np.asarray(pose_ops.quat2mat(jnp.asarray(q)))[0]
             np.testing.assert_allclose(R2, R, atol=1e-4)
+
+
+class TestSevenScenesVOMode:
+    def test_real_mode_poses_gt_idx_and_alignment(self, tmp_path):
+        """real=True serves only VO-tracked frames, maps each back to its
+        GT row via gt_idx, and applies the per-sequence Sim(3) alignment
+        exactly as process_poses would (seven_scenes.py:79-101,119-124)."""
+        from relpose_gnn_tpu.ops.pose import process_poses
+
+        _, tracked, vo_rows, stats = write_7scenes_vo_fixture(
+            str(tmp_path), n_seqs=2, n_frames=4)
+        ds = SevenScenes("chess", str(tmp_path), train=True, image_size=32,
+                         real=True)
+        n0, n1 = len(tracked[0]), len(tracked[1])
+        assert len(ds) == n0 + n1
+        # gt_idx: seq-2's indices offset by seq-1's GT frame count (4)
+        np.testing.assert_array_equal(
+            ds.gt_idx, np.hstack([tracked[0], 4 + tracked[1]]))
+        # images come from the tracked frames
+        assert ds.c_imgs[0].endswith(
+            f"seq-01/frame-{tracked[0][0]:06d}.color.png")
+        assert ds.c_imgs[n0].endswith(
+            f"seq-02/frame-{tracked[1][0]:06d}.color.png")
+        # poses: per-seq aligned VO poses, identity normalization
+        for s, (rows, st) in enumerate(zip(vo_rows, stats)):
+            want = process_poses(rows[:, 1:13], np.zeros(3), np.ones(3),
+                                 np.asarray(st["R"]), np.asarray(st["t"]),
+                                 st["s"])
+            got = ds.poses[s * n0:(s + 1) * n0] if s == 0 else \
+                ds.poses[n0:n0 + n1]
+            np.testing.assert_allclose(got, want, atol=1e-5)
+        # frames load fine
+        img, pose, _ = ds[0]
+        assert img.shape[0] == 32 and pose.shape == (6,)
+
+    def test_libviso2_one_based_indices(self, tmp_path):
+        write_7scenes_vo_fixture(str(tmp_path), vo_lib="libviso2",
+                                 n_seqs=1, n_frames=4)
+        ds = SevenScenes("chess", str(tmp_path), train=True, image_size=32,
+                         real=True, vo_lib="libviso2")
+        # the 1-based table indices come back 0-based (seven_scenes.py:84-85)
+        assert ds.gt_idx.min() >= 0 and ds.gt_idx.max() <= 3
+        assert all(osp.exists(p) for p in ds.c_imgs)
+
+    def test_gt_mode_gt_idx_is_arange(self, tmp_path):
+        write_7scenes_fixture(str(tmp_path))
+        ds = SevenScenes("chess", str(tmp_path), train=True, image_size=32)
+        np.testing.assert_array_equal(ds.gt_idx, np.arange(8))
 
 
 class TestCambridgeParser:
