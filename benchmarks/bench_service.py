@@ -78,6 +78,34 @@ def main():
     print(f"service (retrieval+graph+GNN+pose): {qps:.0f} queries/s "
           f"({dt / iters * 1e3 / batch:.3f} ms/query)", flush=True)
 
+    # --- a real server's two protocols over HOST-resident uint8 queries:
+    # per-batch sync (query + blocking read each batch) vs pipelined
+    # query_stream (depth in-flight batches; upload/dispatch overlap
+    # compute).  Distinct uint8 pixels per batch defeat result caching.
+    host_pool = [(np.asarray(pool[i % 3]) * 255 + i % 7).clip(0, 255)
+                 .astype(np.uint8) for i in range(iters)]
+    # warm the uint8-input program
+    np.asarray(svc.query(host_pool[0], model_norm,
+                         jax.random.PRNGKey(0))["pose"])
+
+    t0 = time.perf_counter()
+    for i, q in enumerate(host_pool):
+        np.asarray(svc.query(q, model_norm,
+                             jax.random.PRNGKey(i))["pose"])
+    dt_sync = time.perf_counter() - t0
+    print(f"host uint8, per-batch sync: {batch * iters / dt_sync:.0f} "
+          f"queries/s", flush=True)
+
+    for depth in (2, 4):
+        t0 = time.perf_counter()
+        n_out = sum(1 for _ in svc.query_stream(host_pool, model_norm,
+                                                depth=depth))
+        dt_pipe = time.perf_counter() - t0
+        assert n_out == iters
+        print(f"host uint8, pipelined depth={depth}: "
+              f"{batch * iters / dt_pipe:.0f} queries/s "
+              f"({dt_sync / dt_pipe:.2f}x over sync)", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -182,3 +182,34 @@ class RelocalizationService:
         return self._query_fn(self.model_vars, self.netvlad_vars,
                               self.db_desc, self.db_emb, self.db_poses,
                               q, model_norm(q), rng)
+
+    def query_stream(self, batches, model_norm, depth: int = 2,
+                     rng: jax.Array | None = None):
+        """Pipelined serving: relocalize a stream of query batches.
+
+        Keeps up to `depth` batches in flight (JAX dispatch is async), so
+        batch i+1's host->device upload and launch overhead overlap batch
+        i's on-chip compute — per-batch `query()` + a blocking host read
+        serializes those (DESIGN.md §roofline's second lever).  Yields
+        one result dict per input batch, in order, with arrays fetched to
+        numpy (the host read is the pipeline's only sync point).
+
+        `batches` is any iterable of [B, H, W, 3] arrays (uint8 or float
+        in [0, 1]); B may vary (each distinct B pays one compile).
+        """
+        from collections import deque
+
+        assert depth >= 1
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        inflight: deque = deque()
+
+        def fetch(out):
+            return {k: np.asarray(v) for k, v in out.items()}
+
+        for i, q in enumerate(batches):
+            inflight.append(self.query(q, model_norm,
+                                       jax.random.fold_in(rng, i)))
+            if len(inflight) > depth:
+                yield fetch(inflight.popleft())
+        while inflight:
+            yield fetch(inflight.popleft())

@@ -75,6 +75,30 @@ class TestRelocalizationService:
             for s in range(6)}
         assert len(sets) > 1  # stochastic drop/offset varies the graph
 
+    def test_query_stream_matches_sequential_queries(self):
+        """Pipelined serving is a scheduling change only: query_stream
+        yields exactly what per-batch query() calls produce (same fold_in
+        rng schedule), in order, for every pipeline depth."""
+        svc = build_service(deterministic=False)
+        rng = np.random.default_rng(3)
+        db = rng.random((16, 32, 40, 3)).astype(np.float32)
+        db_poses = rng.normal(size=(16, 6)).astype(np.float32)
+        svc.build(db, db_poses, model_norm, batch=8)
+        batches = [rng.random((2, 32, 40, 3)).astype(np.float32)
+                   for _ in range(5)]
+        key = jax.random.PRNGKey(11)
+        want = [svc.query(b, model_norm, jax.random.fold_in(key, i))
+                for i, b in enumerate(batches)]
+        for depth in (1, 3):
+            got = list(svc.query_stream(batches, model_norm, depth=depth,
+                                        rng=key))
+            assert len(got) == len(want)
+            for g, w in zip(got, want):
+                np.testing.assert_array_equal(g["neighbors"],
+                                              np.asarray(w["neighbors"]))
+                np.testing.assert_allclose(g["pose"], np.asarray(w["pose"]),
+                                           atol=1e-6)
+
     def test_uint8_query_bitwise_matches_quantized_float(self):
         """uint8 queries ride a 4x-thinner H2D transfer and are converted
         on device; the result must be bit-identical to sending the same
