@@ -151,6 +151,61 @@ class TestClassicalVLAD:
         np.testing.assert_array_equal(loaded.descriptors, index.descriptors)
 
 
+class TestVLADExport:
+    def _index(self, tmp_path, m=5, d=8):
+        rng = np.random.default_rng(8)
+        index = VLADIndex(centers=rng.normal(size=(2, d)).astype(np.float32))
+        index.build([rng.normal(size=(12, d)).astype(np.float32)
+                     for _ in range(m)])
+        p = str(tmp_path / "vlad.pkl")
+        index.save(p)
+        with open(p + ".paths.txt", "w") as f:
+            f.write("\n".join(f"img{i}.png" for i in range(m)))
+        return p, np.asarray(index.descriptors, np.float64)
+
+    def test_distances_matches_scipy(self, tmp_path):
+        import sys
+        sys.path.insert(0, "/root/repo/cli")
+        import vlad_export
+        from scipy.spatial.distance import cdist
+
+        p, V = self._index(tmp_path)
+        out = str(tmp_path / "dist")
+        vlad_export.main(["--index", p, "--output", out,
+                          "--format", "distances"])
+        got = np.loadtxt(out + ".txt", delimiter=",")
+        np.testing.assert_allclose(got, cdist(V, V), atol=1e-4)
+
+    def test_csv_and_prj_layouts(self, tmp_path):
+        import sys
+        sys.path.insert(0, "/root/repo/cli")
+        import vlad_export
+
+        p, V = self._index(tmp_path, m=3, d=4 * 2)
+        csv_out = str(tmp_path / "v.csv")
+        vlad_export.main(["--index", p, "--output", csv_out,
+                          "--format", "csv"])
+        lines = open(csv_out).read().strip().split("\n")
+        assert len(lines) == 3
+        first = lines[0].split(",")
+        assert first[0] == "img0.png"
+        np.testing.assert_allclose([float(x) for x in first[1:]], V[0])
+
+        prj_out = str(tmp_path / "v.prj")
+        vlad_export.main(["--index", p, "--output", prj_out,
+                          "--format", "prj", "--scale"])
+        lines = open(prj_out).read().strip().split("\n")
+        # DY header, count, dim, feature-name row, then M data rows
+        # (VLADtoPRJ.py:50-67)
+        assert lines[0] == "DY" and lines[1] == "3" and lines[2] == "16"
+        assert lines[3].split(";") == [str(i) for i in range(17)]
+        row = lines[4].split(";")
+        assert row[0] == "img0.png.txt" and row[-1] == "0.0"
+        vals = np.asarray([line.split(";")[1:-1] for line in lines[4:]],
+                          np.float64)
+        assert vals.min() >= 0.0 and vals.max() <= 1.0  # min-max scaled
+
+
 class TestNetVLADPreprocess:
     def test_raw_frame_geometry(self):
         import numpy as np
