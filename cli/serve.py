@@ -55,6 +55,9 @@ def parse_args(argv):
     p.add_argument("--retrieval-hw", type=int, nargs=2, default=(192, 256),
                    metavar=("H", "W"),
                    help="NetVLAD input size (smoke tests use smaller)")
+    p.add_argument("--pipeline-depth", type=int, default=2,
+                   help="query batches kept in flight (query_stream); "
+                        "host decode + upload overlap device compute")
     p.add_argument("--netvlad-clusters", type=int, default=64,
                    help="NetVLAD clusters (reference: 64)")
     return p.parse_args(argv)
@@ -160,31 +163,36 @@ def main(argv=None):
 
     # --- serve the query split --------------------------------------------
     q = _load_split(args, train=False)
-    print(f"serving {len(q)} queries (batch {args.batch_size}) ...")
-    poses_out, t_serve, served = [], 0.0, 0
-    rng = jax.random.PRNGKey(args.seed)
-    for i in range(0, len(q), args.batch_size):
-        n = min(args.batch_size, len(q) - i)
-        # uint8 on the wire: 4x less host->device traffic; the service
-        # converts + normalizes on device (matches the packed stores'
-        # uint8 quantization, so serving == training data parity)
-        batch = np.zeros((n, h, w, 3), np.uint8)
-        for j in range(n):
-            img = q.load_image(i + j)
-            if img is not None:
-                batch[j] = np.round(
-                    np.clip(_fit(img, h, w), 0, 1) * 255).astype(np.uint8)
-        rng, sub = jax.random.split(rng)
-        t0 = time.perf_counter()
-        out = svc.query(batch, model_norm, sub)
-        pose = np.asarray(jax.block_until_ready(out["pose"]))
-        t_serve += time.perf_counter() - t0
-        served += n
-        poses_out.append(pose)
+    print(f"serving {len(q)} queries (batch {args.batch_size}, "
+          f"pipeline depth {args.pipeline_depth}) ...")
+
+    def query_batches():
+        for i in range(0, len(q), args.batch_size):
+            n = min(args.batch_size, len(q) - i)
+            # uint8 on the wire: 4x less host->device traffic; the service
+            # converts + normalizes on device (matches the packed stores'
+            # uint8 quantization, so serving == training data parity)
+            batch = np.zeros((n, h, w, 3), np.uint8)
+            for j in range(n):
+                img = q.load_image(i + j)
+                if img is not None:
+                    batch[j] = np.round(
+                        np.clip(_fit(img, h, w), 0, 1) * 255
+                    ).astype(np.uint8)
+            yield batch
+
+    # pipelined: while batch i computes on device, the host decodes and
+    # uploads batch i+1..i+depth (evaluation/service.py::query_stream)
+    t0 = time.perf_counter()
+    poses_out = [out["pose"] for out in svc.query_stream(
+        query_batches(), model_norm, depth=args.pipeline_depth,
+        rng=jax.random.PRNGKey(args.seed))]
+    t_serve = time.perf_counter() - t0
     poses_out = np.concatenate(poses_out)
+    served = len(poses_out)
     print(f"served {served} queries in {t_serve:.2f}s "
-          f"({served / max(t_serve, 1e-9):.0f} q/s incl. retrieval; "
-          f"excludes host image decode)")
+          f"({served / max(t_serve, 1e-9):.0f} q/s incl. retrieval AND "
+          f"host image decode, pipelined)")
 
     err = compute_pose_errors(poses_out, q.poses[:len(poses_out)])
     print(err)
