@@ -102,6 +102,9 @@ def main():
     ap.add_argument("--nodes", type=int, default=8)
     ap.add_argument("--dtype", type=str, default="bfloat16",
                     choices=("bfloat16", "float32"))
+    ap.add_argument("--s2d", action="store_true",
+                    help="space-to-depth serving stem (A/B lever; loses "
+                         "~4.5%% in the composed step — see fold_bn.py)")
     args = ap.parse_args()
 
     from relpose_gnn_tpu.models.posenet import RelPoseGNN, RelPoseGNNConfig
@@ -178,7 +181,12 @@ def main():
     from relpose_gnn_tpu.evaluation import serving
     from relpose_gnn_tpu.models.fold_bn import fold_relpose_backbone
 
-    fcfg, fvars = fold_relpose_backbone(cfg, variables)
+    # s2d stem: wins 14% on the STANDALONE backbone at batch 256
+    # (benchmarks/bench_s2d.py) but loses ~4.5% inside this composed
+    # serving step (measured A/B here: 6926 vs 6620 q/s) — default off;
+    # models/fold_bn.py::space_to_depth_conv1 documents both tables
+    fcfg, fvars = fold_relpose_backbone(cfg, variables,
+                                        s2d_stem=args.s2d)
     fmodel = RelPoseGNN(fcfg)
     embed = serving.make_embed_fn(fmodel)
     cached_step = serving.make_cached_eval_step(fmodel, ref_node=0)

@@ -62,8 +62,13 @@ def main():
                                        (1, 2, 2)).copy())
     import sys as _s, time as _tt
     _t0 = _tt.perf_counter()
-    variables = model.init({"params": jax.random.PRNGKey(0)}, x1, adj1,
-                           train=False)
+    # jit the init: eager flax init dispatches hundreds of tiny ops, each
+    # paying the ~30 ms tunnel RTT (~95 s measured); jitted it is one
+    # program (~9 s)
+    variables = jax.jit(lambda k: model.init({"params": k}, x1, adj1,
+                                             train=False))(
+        jax.random.PRNGKey(0))
+    jax.block_until_ready(variables)
     print(f"init done in {_tt.perf_counter() - _t0:.1f} s",
           file=_s.stderr, flush=True)
 

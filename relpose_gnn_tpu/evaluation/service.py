@@ -52,13 +52,18 @@ class RelocalizationService:
     def __init__(self, model: RelPoseGNN, model_vars,
                  netvlad: NetVLADEncoder, netvlad_vars,
                  cfg: ServiceConfig = ServiceConfig(),
-                 fold_bn: bool = True):
+                 fold_bn: bool = True, s2d_stem: bool = False):
         if fold_bn and model.cfg.backbone.startswith("resnet") \
                 and not model.cfg.bn_folded:
             # serving form: BN folded into conv weights (~2.5x measured,
-            # models/fold_bn.py); numerically equivalent at f32
+            # models/fold_bn.py); numerically equivalent at f32.  The
+            # space-to-depth stem (s2d_stem) wins 14% on the standalone
+            # backbone at batch 256 but LOSES ~4.5% inside the composed
+            # serving step (measured both ways — fold_bn.py table);
+            # default off, kept as a per-deployment A/B knob
             from relpose_gnn_tpu.models.fold_bn import fold_relpose_backbone
-            fcfg, model_vars = fold_relpose_backbone(model.cfg, model_vars)
+            fcfg, model_vars = fold_relpose_backbone(model.cfg, model_vars,
+                                                     s2d_stem=s2d_stem)
             model = RelPoseGNN(fcfg)
         self.model = model
         self.model_vars = model_vars

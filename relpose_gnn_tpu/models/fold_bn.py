@@ -75,7 +75,23 @@ def space_to_depth_conv1(conv1: dict) -> dict:
     The matching input packing + asymmetric (2,1) padding live in
     ResNet.__call__ (s2d_stem=True).  Bias (if present) is unchanged.
     Exactness is asserted by tests/test_fold_bn.py (f32, both parities of
-    the input extent)."""
+    the input extent).
+
+    Measured (TPU v5e, bf16, 256x341, salted chained-accumulator
+    protocol — benchmarks/bench_s2d.py):
+
+      standalone folded-ResNet34 forward:
+        batch  64:  9.37 ms (7x7)  vs  9.77 ms (s2d)  -> 0.96x
+        batch 128: 14.15 ms        vs 13.83 ms        -> 1.02x
+        batch 256: 32.38 ms        vs 28.30 ms        -> 1.14x
+      composed serving step (bench.py end-to-end, batch 256):
+        6926 q/s (7x7)  vs  6620 q/s (s2d)  -> 0.96x
+
+    The standalone win does NOT survive composition with the GNN stage —
+    XLA schedules the fused program differently around the packing
+    transpose — so serving defaults to the plain stem and this transform
+    stays available as an A/B knob (bench.py --s2d,
+    RelocalizationService(s2d_stem=True))."""
     k = np.asarray(conv1["kernel"], np.float32)
     assert k.shape[:2] == (7, 7), k.shape
     c_in, c_out = k.shape[2], k.shape[3]
