@@ -17,6 +17,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# persistent compilation cache: full-service query-path compiles through
+# the tunnel are minutes each; verified working on this backend
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from relpose_gnn_tpu.evaluation.service import (RelocalizationService,
                                                 ServiceConfig)
 from relpose_gnn_tpu.models.netvlad import NetVLADEncoder
@@ -28,6 +34,13 @@ def model_norm(x):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-device-leg", action="store_true",
+                    help="only run the host-uint8 sync-vs-pipelined legs")
+    ap.add_argument("--host-iters", type=int, default=10)
+    args = ap.parse_args()
+
     z = jnp.zeros(())
     float(z + 1.0)
     t0 = time.perf_counter()
@@ -39,11 +52,16 @@ def main():
     mcfg = RelPoseGNNConfig.preset("R3", dtype=jnp.bfloat16)
     model = RelPoseGNN(mcfg)
     h, w = 256, 341
-    model_vars = model.init(jax.random.PRNGKey(0),
-                            jnp.ones((1, 8, h, w, 3)),
-                            jnp.ones((1, 8, 8), bool), train=False)
+    # jitted inits: eager flax init dispatches per-param initializers,
+    # each paying the ~30 ms tunnel RTT (see bench_s2d.py)
+    print("initializing models...", flush=True)
+    model_vars = jax.jit(lambda k: model.init(
+        k, jnp.ones((1, 8, h, w, 3)), jnp.ones((1, 8, 8), bool),
+        train=False))(jax.random.PRNGKey(0))
     netvlad = NetVLADEncoder(dtype=jnp.bfloat16)
-    nv_vars = netvlad.init(jax.random.PRNGKey(1), jnp.ones((1, 192, 256, 3)))
+    nv_vars = jax.jit(lambda k: netvlad.init(
+        k, jnp.ones((1, 192, 256, 3))))(jax.random.PRNGKey(1))
+    jax.block_until_ready((model_vars, nv_vars))
 
     svc = RelocalizationService(model, model_vars, netvlad, nv_vars,
                                 ServiceConfig())
@@ -67,24 +85,27 @@ def main():
     float(acc)
 
     iters = 20
-    t0 = time.perf_counter()
-    acc = jnp.zeros(())
-    for i in range(iters):
-        acc = acc + jnp.sum(svc.query(pool[i % 3], model_norm,
-                                      jax.random.PRNGKey(i))["pose"])
-    float(acc)
-    dt = max(time.perf_counter() - t0 - rtt, 1e-9)
-    qps = batch * iters / dt
-    print(f"service (retrieval+graph+GNN+pose): {qps:.0f} queries/s "
-          f"({dt / iters * 1e3 / batch:.3f} ms/query)", flush=True)
+    if not args.skip_device_leg:
+        t0 = time.perf_counter()
+        acc = jnp.zeros(())
+        for i in range(iters):
+            acc = acc + jnp.sum(svc.query(pool[i % 3], model_norm,
+                                          jax.random.PRNGKey(i))["pose"])
+        float(acc)
+        dt = max(time.perf_counter() - t0 - rtt, 1e-9)
+        qps = batch * iters / dt
+        print(f"service (retrieval+graph+GNN+pose): {qps:.0f} queries/s "
+              f"({dt / iters * 1e3 / batch:.3f} ms/query)", flush=True)
 
     # --- a real server's two protocols over HOST-resident uint8 queries:
     # per-batch sync (query + blocking read each batch) vs pipelined
     # query_stream (depth in-flight batches; upload/dispatch overlap
     # compute).  Distinct uint8 pixels per batch defeat result caching.
+    iters = args.host_iters
     host_pool = [(np.asarray(pool[i % 3]) * 255 + i % 7).clip(0, 255)
                  .astype(np.uint8) for i in range(iters)]
-    # warm the uint8-input program
+    # warm the uint8-input program (a distinct jit signature: dtype)
+    print("compiling uint8 query path...", flush=True)
     np.asarray(svc.query(host_pool[0], model_norm,
                          jax.random.PRNGKey(0))["pose"])
 
@@ -96,7 +117,7 @@ def main():
     print(f"host uint8, per-batch sync: {batch * iters / dt_sync:.0f} "
           f"queries/s", flush=True)
 
-    for depth in (2, 4):
+    for depth in (2,):
         t0 = time.perf_counter()
         n_out = sum(1 for _ in svc.query_stream(host_pool, model_norm,
                                                 depth=depth))

@@ -214,7 +214,7 @@ class RelocalizationService:
         for i, q in enumerate(batches):
             inflight.append(self.query(q, model_norm,
                                        jax.random.fold_in(rng, i)))
-            if len(inflight) > depth:
+            if len(inflight) >= depth:
                 yield fetch(inflight.popleft())
         while inflight:
             yield fetch(inflight.popleft())
