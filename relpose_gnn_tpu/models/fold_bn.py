@@ -84,8 +84,9 @@ def space_to_depth_conv1(conv1: dict) -> dict:
         batch  64:  9.37 ms (7x7)  vs  9.77 ms (s2d)  -> 0.96x
         batch 128: 14.15 ms        vs 13.83 ms        -> 1.02x
         batch 256: 32.38 ms        vs 28.30 ms        -> 1.14x
-      composed serving step (bench.py end-to-end, batch 256):
-        6926 q/s (7x7)  vs  6620 q/s (s2d)  -> 0.96x
+      composed serving step (bench.py end-to-end):
+        batch 256: 6926 q/s (7x7)  vs  6620 q/s (s2d)  -> 0.96x
+        batch 512: 7094 q/s (7x7)  vs  6692 q/s (s2d)  -> 0.94x
 
     The standalone win does NOT survive composition with the GNN stage —
     XLA schedules the fused program differently around the packing
