@@ -28,9 +28,13 @@ asynchronous dispatch cannot fake throughput.  The tunnel round-trip
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} where
 `vs_baseline` is the RTT-FREE speedup of the batched TPU-native path over
 the reference's bs=1 protocol on identical hardware: batched throughput
-over the bs=1 program's pure device rate (chained-accumulator timing).
-That is a LOWER bound on the protocol gap on directly-attached hardware —
-a real per-query host sync would only slow the baseline further.  The raw
+over the bs=1 program's pure device rate.  The bs=1 chain runs ON DEVICE
+(fori_loop, one launch): a host-driven chain of bs=1 launches pays the
+tunnel's ~5 ms per-launch dispatch, which inflated the reported ratio
+(and made it swing 18-50 across same-day runs) — pure device time is
+~1.4 ms/query, so the stable, defensible ratio is ~9.6x.  That is a
+LOWER bound on the protocol gap on directly-attached hardware — a real
+per-query host sync would only slow the baseline further.  The raw
 measured protocol ratio, whose per-query sync inherits this setup's
 ~30 ms tunnel RTT, is reported separately as `vs_baseline_tunnel_rtt`
 (bigger, but an artifact of the tunnel — the defensible number is the
@@ -126,13 +130,14 @@ def main():
 
     n, h, w = args.nodes, args.height, args.width
 
-    @jax.jit
-    def eval_fn(variables, images, adj, poses, salt):
+    def _eval_core(variables, images, adj, poses, salt):
         # `salt` makes every execution's inputs distinct (fused multiply,
         # ~free) so no caching layer can serve repeats.  Returns (pred,
         # anchor) so the same compiled program serves the baseline legs AND
         # the cached-path self-check (one full-model compile, not two —
-        # compiles through the tunnel are ~60-90 s each).
+        # compiles through the tunnel are ~60-90 s each).  Kept un-jitted
+        # so the on-device chained-baseline loop can inline it in a
+        # fori_loop body.
         images = images * (1.0 + 1e-4 * salt)
         _, pred_rel, _, aux = model.apply(variables, images, adj,
                                           train=False)
@@ -140,6 +145,8 @@ def main():
         b = pred_rel.shape[0]
         return (poses[jnp.arange(b), nbr]
                 - pred_rel[jnp.arange(b), nbr, 0], nbr)
+
+    eval_fn = jax.jit(_eval_core)
 
     rtt = measure_rtt()
 
@@ -170,19 +177,25 @@ def main():
     # (chained accumulator, one fence) — on local hardware the reference
     # protocol could at best hit 1/that, so the ratio below is a LOWER
     # bound on the true protocol gap there
-    def chained_bs1(iters, base):
-        acc = jnp.zeros(())
-        for i in range(iters):
-            acc = acc + jnp.sum(eval_fn(variables, img1, adj1, poses1,
-                                        float(base + i))[0])
-        float(acc)
+    # the whole chained loop runs ON DEVICE (fori_loop, one launch, one
+    # D2H): a host-driven chain of ~7 ms launches rides the tunnel's
+    # dispatch stream and its backpressure jitter made the reported ratio
+    # swing 18-50 across same-day runs; a single launch is pure device
+    # time.  Salt still derives per-iteration inputs inside the loop body
+    # (cache-proof), and the accumulated sum forces every iteration.
+    local_iters = max(args.baseline_iters, 200)
 
-    chained_bs1(2, 90)  # warm the accumulator chain (measured one-time cost)
-    # bs=1 device steps are ~7 ms, so extra iterations are cheap — use
-    # enough to keep this leg's run-to-run noise out of the ratio
-    local_iters = max(args.baseline_iters, 60)
+    @jax.jit
+    def chained_bs1(variables, img1, adj1, poses1, base):
+        def body(i, acc):
+            pred, _ = _eval_core(variables, img1, adj1, poses1,
+                                 base + jnp.float32(i))
+            return acc + jnp.sum(pred)
+        return jax.lax.fori_loop(0, local_iters, body, jnp.float32(0.0))
+
+    float(chained_bs1(variables, img1, adj1, poses1, jnp.float32(90.0)))
     t0 = time.perf_counter()
-    chained_bs1(local_iters, 100)
+    float(chained_bs1(variables, img1, adj1, poses1, jnp.float32(500.0)))
     dt_base_local = max(time.perf_counter() - t0 - rtt, 1e-9)
     qps_ref_local = local_iters / dt_base_local
 
