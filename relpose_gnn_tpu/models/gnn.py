@@ -34,7 +34,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from relpose_gnn_tpu.models.attention import AttentionBlock
-from relpose_gnn_tpu.ops.graph import masked_mean_aggregate
+from relpose_gnn_tpu.ops.graph import (compact_mean_aggregate,
+                                       masked_mean_aggregate)
 
 
 class MLP2(nn.Module):
@@ -88,6 +89,14 @@ class PairMLP2(nn.Module):
     broadcast over the target axis), 't' ([B.., N, D] broadcast over the
     source axis) or 'e' ([B.., N, N, De]).  Kind order must match the
     reference's concat order for checkpoint parity.
+
+    Compact edge-list mode: with `src`/`tgt` (int [B.., E] endpoint
+    indices), node operands keep the one-matmul-per-node slab form but
+    the [B.., N, H] slab outputs are GATHERED to the edge list instead of
+    broadcast into the N x N grid, and 'e' operands are compact
+    [B.., E, De] — so fc2 and the edge slab pay E instead of N^2 pair
+    FLOPs (half at the production kNN serving graph: E = N*k = 32 vs 64).
+    Same per-edge values as the dense grid (checkpoints unchanged).
     """
 
     in_dims: tuple
@@ -99,10 +108,16 @@ class PairMLP2(nn.Module):
         self.fc1 = _LinParams(sum(self.in_dims), self.hidden)
         self.fc2 = _LinParams(self.hidden, self.out)
 
-    def __call__(self, operands) -> jax.Array:
+    def __call__(self, operands, src: jax.Array | None = None,
+                 tgt: jax.Array | None = None) -> jax.Array:
         assert len(operands) == len(self.in_dims)
+        assert (src is None) == (tgt is None)
         k1 = self.fc1.kernel
         dt = self.dtype or k1.dtype
+
+        def take(part, idx):  # [.., N, H] -> [.., E, H] at edge endpoints
+            return jnp.take_along_axis(part, idx[..., None], axis=-2)
+
         h = None
         off = 0
         for (arr, kind), d in zip(operands, self.in_dims):
@@ -111,9 +126,11 @@ class PairMLP2(nn.Module):
             off += d
             part = jnp.dot(arr.astype(dt), slab.astype(dt))
             if kind == "s":                      # [.., N, H] -> source rows
-                part = part[..., :, None, :]
+                part = take(part, src) if src is not None \
+                    else part[..., :, None, :]
             elif kind == "t":                    # [.., N, H] -> target cols
-                part = part[..., None, :, :]
+                part = take(part, tgt) if tgt is not None \
+                    else part[..., None, :, :]
             else:
                 assert kind == "e", kind
             h = part if h is None else h + part
@@ -123,7 +140,19 @@ class PairMLP2(nn.Module):
 
 
 class DenseEdgeGNN(nn.Module):
-    """Dense equivalent of `simpleConvEdge_upt` (my_gnn_layer.py:277-311)."""
+    """Dense equivalent of `simpleConvEdge_upt` (my_gnn_layer.py:277-311).
+
+    Two computation modes over the SAME parameters:
+      * dense grid (edges=None): e is [.., N, N, De], every ordered pair
+        computed, masked-mean aggregation — fully static, adjacency can
+        be anything.
+      * compact edge list (edges=(src, tgt, emask), each [.., E]): e is
+        [.., E, De], only listed edges pay pair FLOPs; aggregation is a
+        one-hot matmul.  Exact same per-edge math (tests assert equality
+        to the dense grid at every real edge) — at the production kNN
+        serving graph (k=4, N=8 -> E=32 vs 64 pairs) this halves the GNN
+        stage's message/attention work.
+    """
 
     node_dim: int
     edge_dim: int
@@ -132,26 +161,31 @@ class DenseEdgeGNN(nn.Module):
     dtype: Any = None  # compute dtype (e.g. jnp.bfloat16); params stay fp32
 
     @nn.compact
-    def __call__(self, x: jax.Array, e: jax.Array,
-                 adj: jax.Array) -> tuple[jax.Array, jax.Array]:
+    def __call__(self, x: jax.Array, e: jax.Array, adj: jax.Array,
+                 edges: tuple[jax.Array, jax.Array, jax.Array] | None = None
+                 ) -> tuple[jax.Array, jax.Array]:
         d = x.shape[-1]
+        src, tgt, emask = edges if edges is not None else (None, None, None)
 
         # Edge update: e' = MLP([x_source, x_target, e]) — split-weight
         # form: node slabs hit the MXU once per node, not once per pair
         e_new = PairMLP2((d, d, e.shape[-1]), self.edge_dim, self.edge_dim,
                          dtype=self.dtype, name="edge_mlp")(
-            [(x, "s"), (x, "t"), (e, "e")])
+            [(x, "s"), (x, "t"), (e, "e")], src, tgt)
 
         # Message: m = Att(MLP([x_source, e']))
         msg = PairMLP2((d, self.edge_dim), self.out_dim, self.out_dim,
                        dtype=self.dtype, name="msg_mlp")(
-            [(x, "s"), (e_new, "e")])
+            [(x, "s"), (e_new, "e")], src, tgt)
         if self.use_attention:
             msg = AttentionBlock(self.out_dim, dtype=self.dtype,
                                  name="att")(msg)
 
-        # Masked mean aggregation at targets (scatter-mean semantics).
-        aggr = masked_mean_aggregate(msg, adj)
+        # Mean aggregation at targets (scatter-mean semantics).
+        if edges is not None:
+            aggr = compact_mean_aggregate(msg, tgt, emask, x.shape[-2])
+        else:
+            aggr = masked_mean_aggregate(msg, adj)
 
         # Node update: x' = MLP([x, aggr])
         x_new = MLP2(self.out_dim, self.out_dim, dtype=self.dtype,

@@ -66,6 +66,17 @@ class RelPoseGNNConfig:
     s2d_stem: bool = False      # serving form: space-to-depth conv1
     #                             (fold_bn.space_to_depth_conv1 transforms
     #                             the checkpoint weights; eval only)
+    compact_edges: bool = False  # GNN computes on a compact static-shape
+    #                              edge list ([.., E] gathered endpoints)
+    #                              instead of the dense N x N pair grid —
+    #                              exact same math per edge, same params;
+    #                              halves pair/attention work at the
+    #                              production kNN serving graph (E = N*k
+    #                              = 32 vs 64).  pred_rel stays a dense
+    #                              [.., N, N, 6] grid but is ZERO at
+    #                              non-edges (every protocol consumer —
+    #                              eval anchor, masked losses — reads
+    #                              edges only)
 
     @classmethod
     def preset(cls, name: str, **overrides) -> "RelPoseGNNConfig":
@@ -162,20 +173,35 @@ class RelPoseGNN(nn.Module):
         # (ADVICE.md r1 finding #2).
         x_pre_gnn = x
 
+        # Compact edge-list mode: the per-pair chain (edge update, message,
+        # attention, rel head) is pointwise in the pair, so computing it
+        # only on the E real edges is exact — see DenseEdgeGNN docstring.
+        edges = None
+        use_compact = c.compact_edges and c.use_gnn
+
         # Dynamic kNN graph in feature space overrides the stored structure
         # (posenet.py:1043-1050).
         if c.knn > 0:
-            adj = graph_ops.knn_adjacency(x, c.knn)
+            if use_compact:
+                adj, src, tgt = graph_ops.knn_edge_list(x, c.knn)
+                edges = (src, tgt, jnp.ones(src.shape, bool))
+            else:
+                adj = graph_ops.knn_adjacency(x, c.knn)
+        elif use_compact:
+            edges = graph_ops.adj_edge_list(adj)
 
         # Initial edge features from index-ordered endpoint pairs
         # (posenet.py:1053-1055, 999-1019).
-        e = graph_ops.edge_pair_features(x)
+        if use_compact:
+            e = graph_ops.edge_pair_features_compact(x, edges[0], edges[1])
+        else:
+            e = graph_ops.edge_pair_features(x)
         e = nn.relu(self.proj_edge(e))
 
         if c.use_gnn:
             for r in range(c.gnn_recursion):
                 layer = self.gnn_layers[r % c.num_gnn_layers]
-                x, e = layer(x, e, adj)
+                x, e = layer(x, e, adj, edges=edges)
                 x = nn.relu(x)
                 e = nn.relu(e)
         else:
@@ -198,6 +224,11 @@ class RelPoseGNN(nn.Module):
 
         pred_rel = jnp.concatenate(
             [self.fc_xyz_r(e), self.fc_wpqr_r(e)], axis=-1)
+        if use_compact:
+            # scatter compact per-edge predictions back into the dense
+            # API grid (zeros at non-edges — never read by the protocol)
+            pred_rel = graph_ops.scatter_edge_values(
+                pred_rel, edges[0], edges[1], edges[2], x.shape[-2])
         # aux carries the PRE-GNN node embeddings so the evaluator can pick
         # the reference anchor neighbor — the first kNN edge into node 0 of
         # the graph built from backbone features (testing/test.py:227-229;

@@ -186,6 +186,109 @@ def knn_adjacency(x: jax.Array, k: int) -> jax.Array:
     return jnp.swapaxes(adj_t, -1, -2)  # [..., s, t]
 
 
+def knn_edge_list(x: jax.Array, k: int) -> tuple[jax.Array, jax.Array,
+                                                 jax.Array]:
+    """Dynamic kNN graph as a COMPACT static-shape edge list.
+
+    Same graph as `knn_adjacency` (posenet.py:1043-1050 semantics), but
+    returned as (adj, src, tgt) where src/tgt are int32 [..., N*k] edge
+    endpoint indices (edge src[i] -> tgt[i]).  A kNN graph has EXACTLY
+    k in-edges per target node, so the edge list is dense-shape-static —
+    the compact GNN path (models/gnn.py) computes messages on the N*k
+    real edges instead of all N^2 ordered pairs (half the pair FLOPs and
+    attention-kernel exps at the production k=4, N=8).
+
+    Edge order: grouped by target node, each target's sources in
+    ascending distance (lax.top_k order) — matches torch-cluster's
+    neighbor ordering, so tgt-group slot 0 of node 0 is the eval anchor
+    neighbor.
+    """
+    n = x.shape[-2]
+    d = pairwise_sq_dists(x)
+    eye = jnp.eye(n, dtype=bool)
+    d = jnp.where(eye, jnp.inf, d)
+    _, nbr = jax.lax.top_k(-jnp.swapaxes(d, -1, -2), k)  # [..., t, k]
+    adj_t = jax.nn.one_hot(nbr, n, dtype=bool).any(axis=-2)
+    adj = jnp.swapaxes(adj_t, -1, -2)  # [..., s, t]
+    src = nbr.reshape(nbr.shape[:-2] + (n * k,)).astype(jnp.int32)
+    tgt = jnp.broadcast_to(
+        jnp.repeat(jnp.arange(n, dtype=jnp.int32), k),
+        src.shape)
+    return adj, src, tgt
+
+
+def adj_edge_list(adj: jax.Array, e_max: int | None = None
+                  ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Extract a compact static-shape edge list from a dense adjacency.
+
+    adj: bool [..., N, N] -> (src, tgt, emask), each [..., e_max]
+    (default e_max = N*(N-1), enough for any no-self-loop graph).  Slots
+    beyond a graph's true edge count have emask False (their src/tgt
+    point at arbitrary non-edge pairs and must be masked by consumers).
+    Edge order: row-major (s, t) among true entries.
+    """
+    n = adj.shape[-1]
+    if e_max is None:
+        e_max = n * (n - 1)
+    flat = adj.reshape(adj.shape[:-2] + (n * n,))
+    # top_k over {1,0} with a stable row-major tiebreak: score true
+    # entries by descending position bonus so real edges fill the first
+    # slots in row-major order
+    pos = jnp.arange(n * n, dtype=jnp.float32)
+    score = flat.astype(jnp.float32) * (2.0 * n * n) - pos
+    val, idx = jax.lax.top_k(score, e_max)
+    emask = jnp.take_along_axis(flat, idx, axis=-1)
+    src = (idx // n).astype(jnp.int32)
+    tgt = (idx % n).astype(jnp.int32)
+    return src, tgt, emask
+
+
+def edge_pair_features_compact(x: jax.Array, src: jax.Array,
+                               tgt: jax.Array) -> jax.Array:
+    """`edge_pair_features` on a compact edge list.
+
+    e0[i] = concat(x[min(src_i, tgt_i)], x[max(src_i, tgt_i)]) — identical
+    per-edge values to the dense op (posenet.py:999-1019 min/max endpoint
+    indexing), gathered instead of broadcast.
+
+    x: [..., N, D]; src/tgt: int [..., E] -> [..., E, 2D]
+    """
+    lo = jnp.minimum(src, tgt)
+    hi = jnp.maximum(src, tgt)
+    take = lambda i: jnp.take_along_axis(  # noqa: E731
+        x, i[..., None].astype(jnp.int32), axis=-2)
+    return jnp.concatenate([take(lo), take(hi)], axis=-1)
+
+
+def compact_mean_aggregate(msg: jax.Array, tgt: jax.Array,
+                           emask: jax.Array, n: int) -> jax.Array:
+    """Mean-aggregate compact edge messages at their target nodes.
+
+    msg: [..., E, D], tgt: int [..., E], emask: bool [..., E] -> [..., N, D].
+    Scatter-mean as a one-hot matmul (MXU-friendly, no scatter kernel):
+    same sets as `masked_mean_aggregate` over the equivalent dense grid,
+    so results match up to float summation order.  Isolated nodes get 0.
+    """
+    oh = jax.nn.one_hot(tgt, n, dtype=msg.dtype)  # [..., E, N]
+    oh = oh * emask.astype(msg.dtype)[..., None]
+    s = jnp.einsum("...en,...ed->...nd", oh, msg)
+    cnt = jnp.sum(oh, axis=-2)[..., None]
+    return s / jnp.maximum(cnt, 1.0)
+
+
+def scatter_edge_values(vals: jax.Array, src: jax.Array, tgt: jax.Array,
+                        emask: jax.Array, n: int) -> jax.Array:
+    """Scatter compact per-edge values into the dense [..., N, N, D] grid
+    (zeros at non-edges).  One-hot matmul over the flattened pair axis —
+    used to return API-compatible dense `pred_rel` from the compact path.
+    """
+    pair = (src * n + tgt).astype(jnp.int32)
+    oh = jax.nn.one_hot(pair, n * n, dtype=vals.dtype)
+    oh = oh * emask.astype(vals.dtype)[..., None]
+    dense = jnp.einsum("...eq,...ed->...qd", oh, vals)
+    return dense.reshape(dense.shape[:-2] + (n, n, vals.shape[-1]))
+
+
 def nearest_neighbor(x: jax.Array, node: int = 0) -> jax.Array:
     """Index of the nearest neighbor (L2, self excluded) of `node`.
 
