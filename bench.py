@@ -119,6 +119,13 @@ def main():
     ap.add_argument("--s2d", action="store_true",
                     help="space-to-depth serving stem (A/B lever; loses "
                          "~4.5%% in the composed step — see fold_bn.py)")
+    ap.add_argument("--compact", dest="compact", action="store_true",
+                    default=None,
+                    help="compact edge-list GNN in the measured serving "
+                         "step (pair work on the 32 real kNN edges "
+                         "instead of all 64 ordered pairs; exact — "
+                         "models/gnn.py). Default: on")
+    ap.add_argument("--no-compact", dest="compact", action="store_false")
     args = ap.parse_args()
 
     from relpose_gnn_tpu.models.posenet import RelPoseGNN, RelPoseGNNConfig
@@ -210,6 +217,12 @@ def main():
     # models/fold_bn.py::space_to_depth_conv1 documents both tables
     fcfg, fvars = fold_relpose_backbone(cfg, variables,
                                         s2d_stem=args.s2d)
+    if args.compact is not False:
+        # compact edge-list GNN: exact (tests/test_compact_gnn.py), halves
+        # the pair/attention work at the kNN serving graph; measured
+        # in-situ A/B at batch 512 — see models/gnn.py DenseEdgeGNN
+        import dataclasses
+        fcfg = dataclasses.replace(fcfg, compact_edges=True)
     fmodel = RelPoseGNN(fcfg)
     embed = serving.make_embed_fn(fmodel)
     cached_step = serving.make_cached_eval_step(fmodel, ref_node=0)

@@ -52,7 +52,8 @@ class RelocalizationService:
     def __init__(self, model: RelPoseGNN, model_vars,
                  netvlad: NetVLADEncoder, netvlad_vars,
                  cfg: ServiceConfig = ServiceConfig(),
-                 fold_bn: bool = True, s2d_stem: bool = False):
+                 fold_bn: bool = True, s2d_stem: bool = False,
+                 compact_edges: bool = True):
         if fold_bn and model.cfg.backbone.startswith("resnet") \
                 and not model.cfg.bn_folded:
             # serving form: BN folded into conv weights (~2.5x measured,
@@ -65,6 +66,14 @@ class RelocalizationService:
             fcfg, model_vars = fold_relpose_backbone(model.cfg, model_vars,
                                                      s2d_stem=s2d_stem)
             model = RelPoseGNN(fcfg)
+        if compact_edges and model.cfg.use_gnn \
+                and not model.cfg.compact_edges:
+            # compact edge-list GNN: pair/attention work on the real kNN
+            # edges only — exact (tests/test_compact_gnn.py), measured
+            # +9% on the composed cached-serving step at batch 512
+            # (bench.py in-situ A/B: 7733 vs 7073 q/s)
+            model = RelPoseGNN(dataclasses.replace(
+                model.cfg, compact_edges=True))
         self.model = model
         self.model_vars = model_vars
         self.netvlad = netvlad

@@ -508,6 +508,13 @@ def _evaluate_scene_serving(cfg: ExperimentConfig, model, state, ds,
     imgs = load_database_images(database, h, w)
     variables = {"params": state.params["model"],
                  "batch_stats": state.batch_stats}
+    if model.cfg.use_gnn and not model.cfg.compact_edges:
+        # compact edge-list GNN for the serving path: exact vs the dense
+        # grid (tests/test_compact_gnn.py), measured +9% on the composed
+        # serving step (bench.py in-situ A/B)
+        import dataclasses as _dc
+        from relpose_gnn_tpu.models.posenet import RelPoseGNN as _RPG
+        model = _RPG(_dc.replace(model.cfg, compact_edges=True))
     out = evaluate_scene_cached(model, variables, ds, imgs,
                                 batch_size=cfg.batch_size, mesh=mesh)
     return compute_pose_errors(out["pred"], out["target"],
