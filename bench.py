@@ -61,9 +61,8 @@ import jax.numpy as jnp
 # persistent compilation cache (verified working through this backend):
 # the two full-model compiles here are ~60-90 s each through the tunnel
 # on a cold cache, ~seconds warm
-jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from benchmarks._util import enable_compile_cache
+enable_compile_cache()
 
 
 # dense bf16 peak FLOP/s per chip, by EXACT device kind (public spec
@@ -166,8 +165,11 @@ def main():
         return base, adj, poses
 
     img1, adj1, poses1 = make_inputs(1)
-    variables = model.init({"params": jax.random.PRNGKey(0)}, img1,
-                           adj1, train=False)
+    # jitted init: eager flax init dispatches one tiny op per param
+    # initializer, each paying the ~30 ms tunnel RTT (~85 s for ResNet34
+    # vs ~9 s jitted — CLAUDE.md "Environment facts")
+    variables = jax.jit(lambda k: model.init(
+        {"params": k}, img1, adj1, train=False))(jax.random.PRNGKey(0))
 
     # --- baseline leg: reference protocol (bs=1, D2H sync per query,
     # all 8 node images re-encoded per query); the salt makes every

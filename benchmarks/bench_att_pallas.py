@@ -12,7 +12,6 @@ import sys as _sys
 _sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))
 
 import argparse
-import time
 
 import jax
 import jax.numpy as jnp
@@ -20,17 +19,7 @@ import jax.numpy as jnp
 from relpose_gnn_tpu.ops.att_pallas import attention_core, attention_core_xla
 
 
-def bench(f, *a, iters=40):
-    acc = jnp.zeros(())
-    for i in range(3):
-        acc = acc + f(*a, float(i))
-    float(acc)
-    t0 = time.perf_counter()
-    acc = jnp.zeros(())
-    for i in range(iters):
-        acc = acc + f(*a, float(10 + i))
-    float(acc)
-    return (time.perf_counter() - t0) / iters * 1e3
+from benchmarks._util import bench
 
 
 def main():

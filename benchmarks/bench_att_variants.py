@@ -30,7 +30,6 @@ _sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))
 
 import argparse
 import functools
-import time
 
 import jax
 import jax.numpy as jnp
@@ -107,17 +106,7 @@ def variant_core(name: str, phi, theta, g, block_e: int = 16,
     return out[:e_total]
 
 
-def bench(f, *a, iters=40):
-    acc = jnp.zeros(())
-    for i in range(3):
-        acc = acc + f(*a, float(i))
-    float(acc)
-    t0 = time.perf_counter()
-    acc = jnp.zeros(())
-    for i in range(iters):
-        acc = acc + f(*a, float(10 + i))
-    float(acc)
-    return (time.perf_counter() - t0) / iters * 1e3
+from benchmarks._util import bench
 
 
 def main():
@@ -135,9 +124,8 @@ def main():
     if args.check_only:
         jax.config.update("jax_platforms", "cpu")
     else:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        from benchmarks._util import enable_compile_cache
+        enable_compile_cache()
     e, c = args.e, args.c
 
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)

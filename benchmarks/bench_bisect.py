@@ -15,15 +15,13 @@ import sys as _sys
 _sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))
 
 import argparse
-import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from benchmarks._util import enable_compile_cache
+enable_compile_cache()
 
 from relpose_gnn_tpu.evaluation import serving
 from relpose_gnn_tpu.models.fold_bn import fold_relpose_backbone
@@ -31,17 +29,7 @@ from relpose_gnn_tpu.models.posenet import RelPoseGNN, RelPoseGNNConfig
 from relpose_gnn_tpu.ops import graph as graph_ops
 
 
-def bench(f, *a, iters=20):
-    acc = jnp.zeros(())
-    for i in range(3):
-        acc = acc + f(*a, jnp.float32(i))
-    float(acc)
-    t0 = time.perf_counter()
-    acc = jnp.zeros(())
-    for i in range(iters):
-        acc = acc + f(*a, jnp.float32(10 + i))
-    float(acc)
-    return (time.perf_counter() - t0) / iters * 1e3
+from benchmarks._util import bench
 
 
 def main():

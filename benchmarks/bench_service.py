@@ -19,9 +19,8 @@ import jax.numpy as jnp
 
 # persistent compilation cache: full-service query-path compiles through
 # the tunnel are minutes each; verified working on this backend
-jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from benchmarks._util import enable_compile_cache
+enable_compile_cache()
 
 from relpose_gnn_tpu.evaluation.service import (RelocalizationService,
                                                 ServiceConfig)

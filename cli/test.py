@@ -27,6 +27,10 @@ def parse_args(argv):
                    help="evaluate RANDOM-INIT weights when the weights "
                         "path is missing (smoke mode); without this a bad "
                         "path is a hard error")
+    p.add_argument("--dense-edges", action="store_true",
+                   help="serving path only: use the dense N x N GNN grid "
+                        "instead of the (exact, faster) compact edge list "
+                        "— the A/B escape hatch")
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--knn", default=4, type=int)
     p.add_argument("--dtype", default="bfloat16",
@@ -56,6 +60,7 @@ def main(argv=None):
         pose_stats_file=args.pose_stat_path, dtype=args.dtype,
         seq_len=args.seq_len, backbone=args.backbone,
         feat_dim=args.feat_dim, gnn_recursion=args.gnn_recursion,
+        serving_compact_edges=not args.dense_edges,
         experiment=2, train_scene=args.test_scene)
     results = run_eval(cfg, serving_data_path=args.serving_data_path)
     for scene, err in results.items():

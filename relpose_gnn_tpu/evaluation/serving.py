@@ -51,7 +51,8 @@ def evaluate_scene_cached(model: RelPoseGNN, variables,
                           packed_ds, database_images: np.ndarray,
                           batch_size: int = 64,
                           embed_batch: int = 32,
-                          mesh=None) -> dict:
+                          mesh=None,
+                          static_anchor: int | None = None) -> dict:
     """Full-scene cached-serving evaluation over a packed dataset.
 
     Requires the packed store to carry `nbr_idx` (neighbor database
@@ -66,6 +67,12 @@ def evaluate_scene_cached(model: RelPoseGNN, variables,
     experiment.evaluate_scene).  Predictions are identical to the
     single-device path (VERDICT r2 weak #4: this branch used to be
     single-chip only).
+
+    `static_anchor` follows the same rule as trainer.make_eval_step: for
+    knn=0 static graphs pass experiment.static_anchor_for(cfg) so this
+    branch anchors identically to the plain eval path (construction-order
+    node 1, testing/test.py:227-229), not the feature-space nearest
+    neighbor.
     """
     from relpose_gnn_tpu.data.pipeline import make_normalizer
 
@@ -73,7 +80,7 @@ def evaluate_scene_cached(model: RelPoseGNN, variables,
     normalize = make_normalizer(packed_ds.mean, packed_ds.std)
 
     pad_multiple = 1
-    shard = shard_poses = None
+    shard = None
     if mesh is not None:
         from relpose_gnn_tpu.parallel.mesh import DATA_AXIS
         from relpose_gnn_tpu.parallel.sharding import (batch_sharding,
@@ -93,19 +100,25 @@ def evaluate_scene_cached(model: RelPoseGNN, variables,
         return arrs
 
     # embed the (raw [0,1] or uint8) database frames once, normalized with
-    # the same per-scene stats as the stored graphs
+    # the same per-scene stats as the stored graphs.  Single-device chunks
+    # stay device-resident (async dispatch, no D2H); only the mesh path
+    # round-trips through the host to un-shard each chunk's padded tail
+    # before re-replicating the cache.
     embed = make_embed_fn(model)
     chunks = []
     for i in range(0, len(database_images), embed_batch):
         raw = jnp.asarray(database_images[i:i + embed_batch])
         n_valid = raw.shape[0]
         imgs = padded({"imgs": normalize(raw)}, n_valid)["imgs"]
-        chunks.append(np.asarray(embed(variables, imgs))[:n_valid])
-    cache = jnp.concatenate([jnp.asarray(c) for c in chunks])
+        emb = embed(variables, imgs)
+        chunks.append(np.asarray(emb)[:n_valid] if mesh is not None
+                      else emb[:n_valid])
     if mesh is not None:
         from relpose_gnn_tpu.parallel.sharding import replicate
-        cache = jax.device_put(cache, replicate(mesh))
-    step = make_cached_eval_step(model)
+        cache = jax.device_put(np.concatenate(chunks), replicate(mesh))
+    else:
+        cache = jnp.concatenate(chunks)
+    step = make_cached_eval_step(model, static_anchor=static_anchor)
 
     preds, targets = [], []
     for start in range(0, len(packed_ds), batch_size):
@@ -125,7 +138,8 @@ def evaluate_scene_cached(model: RelPoseGNN, variables,
             "target": np.concatenate(targets)}
 
 
-def make_cached_eval_step(model: RelPoseGNN, ref_node: int = 0) -> Callable:
+def make_cached_eval_step(model: RelPoseGNN, ref_node: int = 0,
+                          static_anchor: int | None = None) -> Callable:
     """Jitted eval over graphs given cached neighbor embeddings.
 
     Args of the returned fn:
@@ -137,7 +151,10 @@ def make_cached_eval_step(model: RelPoseGNN, ref_node: int = 0) -> Callable:
       adj        : [B, N, N]       static structure (ignored when knn > 0)
 
     Returns {pred, nbr} exactly like trainer.make_eval_step on the full
-    pixel path (testing/test.py:227-233 recovery).
+    pixel path (testing/test.py:227-233 recovery).  `static_anchor`
+    mirrors make_eval_step's knn=0 rule (anchor on a fixed
+    construction-order node instead of the feature-space nearest
+    neighbor); both run_eval branches must agree on it.
     """
 
     @jax.jit
@@ -148,8 +165,12 @@ def make_cached_eval_step(model: RelPoseGNN, ref_node: int = 0) -> Callable:
         _, pred_rel, _, aux = model.apply(
             variables, x, adj, train=False,
             method=RelPoseGNN.from_embeddings)
-        nbr = graph_ops.nearest_neighbor(aux["node_feats"], node=ref_node)
         b = pred_rel.shape[0]
+        if static_anchor is not None:
+            nbr = jnp.full(b, static_anchor, jnp.int32)
+        else:
+            nbr = graph_ops.nearest_neighbor(aux["node_feats"],
+                                             node=ref_node)
         rp = pred_rel[jnp.arange(b), nbr, ref_node]
         # node 0 is the query; neighbor j corresponds to nbr_poses[j-1]
         anchor = nbr_poses[jnp.arange(b), nbr - 1]

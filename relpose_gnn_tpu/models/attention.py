@@ -110,6 +110,15 @@ class AttentionBlock(nn.Module):
                           f"{axis}={mesh.shape[axis]}")
             else:
                 use_pallas = True
+        if use_pallas and axis is not None \
+                and e_total % mesh.shape[axis] != 0:
+            # forced-Pallas (use_pallas=True / USE_PALLAS_DEFAULT) under a
+            # mesh axis that does not divide E: the shard_map wrapper
+            # cannot host the kernel — fall back like the auto path
+            # instead of tripping attention_core_sharded's assert
+            use_pallas = False
+            _log_once(f"E={e_total} not divisible by mesh axis "
+                      f"{axis}={mesh.shape[axis]} (forced)")
         if use_pallas:
             # forcing True on a non-TPU backend (tests, CPU-mesh dryrun)
             # runs the kernel in interpret mode

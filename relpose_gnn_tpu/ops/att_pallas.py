@@ -147,10 +147,16 @@ def sharded_axis_for(mesh) -> str | None:
     if mesh is None or getattr(mesh, "empty", True) or mesh.size <= 1:
         return None
     from relpose_gnn_tpu.parallel.mesh import DATA_AXIS
-    if DATA_AXIS in mesh.axis_names and mesh.shape[DATA_AXIS] > 1:
-        return DATA_AXIS
-    # fall back to the largest axis (single-axis custom meshes)
-    return max(mesh.axis_names, key=lambda a: mesh.shape[a])
+    if DATA_AXIS in mesh.axis_names:
+        # On a dp=1 x tp=N mesh, rows are NOT sharded over `model` —
+        # shard_mapping E over it would force an all-gather + re-scatter
+        # at the boundary on every call.  Let the XLA branch (which GSPMD
+        # partitions natively) handle pure-TP meshes instead.
+        return DATA_AXIS if mesh.shape[DATA_AXIS] > 1 else None
+    if len(mesh.axis_names) == 1:
+        # single-axis custom mesh: its one axis is the batch axis
+        return mesh.axis_names[0]
+    return None  # multi-axis custom mesh: no way to know the batch axis
 
 
 def attention_core_sharded(phi: jax.Array, theta: jax.Array, g: jax.Array,

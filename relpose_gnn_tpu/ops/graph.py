@@ -176,14 +176,27 @@ def knn_adjacency(x: jax.Array, k: int) -> jax.Array:
 
     x: [..., N, D] -> bool adj [..., N, N] with adj[..., s, t].
     """
+    return _nbr_to_adj(_knn_neighbors(x, k), x.shape[-2])
+
+
+def _knn_neighbors(x: jax.Array, k: int) -> jax.Array:
+    """Shared kNN core: [..., N, D] -> nbr [..., t, k], each center node
+    t's k nearest sources in ascending distance (lax.top_k order).  The
+    ONE place the numerics-sensitive distance/top_k sequence lives —
+    knn_adjacency and knn_edge_list both derive from it, so the compact
+    and dense paths can never build different graphs."""
     n = x.shape[-2]
     d = pairwise_sq_dists(x)
-    eye = jnp.eye(n, dtype=bool)
-    d = jnp.where(eye, jnp.inf, d)
-    # top-k smallest distances per *center* node t: operate on rows of d^T.
-    _, nbr = jax.lax.top_k(-jnp.swapaxes(d, -1, -2), k)  # [..., N(center), k]
+    d = jnp.where(jnp.eye(n, dtype=bool), jnp.inf, d)
+    # top-k smallest distances per *center* node t: rows of d^T
+    _, nbr = jax.lax.top_k(-jnp.swapaxes(d, -1, -2), k)
+    return nbr
+
+
+def _nbr_to_adj(nbr: jax.Array, n: int) -> jax.Array:
+    """nbr [..., t, k] -> bool adj [..., s, t]."""
     adj_t = jax.nn.one_hot(nbr, n, dtype=bool).any(axis=-2)  # [..., t, s]
-    return jnp.swapaxes(adj_t, -1, -2)  # [..., s, t]
+    return jnp.swapaxes(adj_t, -1, -2)
 
 
 def knn_edge_list(x: jax.Array, k: int) -> tuple[jax.Array, jax.Array,
@@ -204,12 +217,8 @@ def knn_edge_list(x: jax.Array, k: int) -> tuple[jax.Array, jax.Array,
     neighbor.
     """
     n = x.shape[-2]
-    d = pairwise_sq_dists(x)
-    eye = jnp.eye(n, dtype=bool)
-    d = jnp.where(eye, jnp.inf, d)
-    _, nbr = jax.lax.top_k(-jnp.swapaxes(d, -1, -2), k)  # [..., t, k]
-    adj_t = jax.nn.one_hot(nbr, n, dtype=bool).any(axis=-2)
-    adj = jnp.swapaxes(adj_t, -1, -2)  # [..., s, t]
+    nbr = _knn_neighbors(x, k)  # [..., t, k]
+    adj = _nbr_to_adj(nbr, n)   # [..., s, t]
     src = nbr.reshape(nbr.shape[:-2] + (n * k,)).astype(jnp.int32)
     tgt = jnp.broadcast_to(
         jnp.repeat(jnp.arange(n, dtype=jnp.int32), k),

@@ -73,6 +73,11 @@ class ExperimentConfig:
     #                                    reference has none, SURVEY §5)
     mesh_data: int = 0                 # >0: train over a (data, model) mesh
     mesh_model: int = 1                # tensor-parallel axis size
+    serving_compact_edges: bool = True  # A/B knob for the cached-serving
+    #                                    eval branch (compact edge-list GNN
+    #                                    vs the dense grid; exact but keep
+    #                                    the dense path reachable for
+    #                                    real-data A/B, repo convention)
 
 
 def static_anchor_for(cfg: ExperimentConfig) -> int | None:
@@ -508,14 +513,17 @@ def _evaluate_scene_serving(cfg: ExperimentConfig, model, state, ds,
     imgs = load_database_images(database, h, w)
     variables = {"params": state.params["model"],
                  "batch_stats": state.batch_stats}
-    if model.cfg.use_gnn and not model.cfg.compact_edges:
+    if (cfg.serving_compact_edges and model.cfg.use_gnn
+            and not model.cfg.compact_edges):
         # compact edge-list GNN for the serving path: exact vs the dense
         # grid (tests/test_compact_gnn.py), measured +9% on the composed
-        # serving step (bench.py in-situ A/B)
+        # serving step (bench.py in-situ A/B); cfg.serving_compact_edges
+        # keeps the dense grid reachable for real-data A/B
         import dataclasses as _dc
         from relpose_gnn_tpu.models.posenet import RelPoseGNN as _RPG
         model = _RPG(_dc.replace(model.cfg, compact_edges=True))
     out = evaluate_scene_cached(model, variables, ds, imgs,
-                                batch_size=cfg.batch_size, mesh=mesh)
+                                batch_size=cfg.batch_size, mesh=mesh,
+                                static_anchor=static_anchor_for(cfg))
     return compute_pose_errors(out["pred"], out["target"],
                                pose_mean=mean_t, pose_std=std_t)

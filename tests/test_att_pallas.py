@@ -66,6 +66,36 @@ class TestAttentionCore:
         solo = Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
                     ("data", "model"))
         assert sharded_axis_for(solo) is None  # trivial mesh: plain kernel
+        # pure-TP mesh: rows are NOT sharded over `model`, so shard_mapping
+        # E over it would insert collectives at the boundary — must decline
+        # and let GSPMD partition the XLA branch instead
+        tp = Mesh(np.array(jax.devices()).reshape(1, 8), ("data", "model"))
+        assert sharded_axis_for(tp) is None
+        # single-axis custom mesh: its one axis is the batch axis
+        one = Mesh(np.array(jax.devices()), ("batch",))
+        assert sharded_axis_for(one) == "batch"
+        # multi-axis custom mesh without `data`: no way to know the batch
+        # axis — decline
+        xy = Mesh(np.array(jax.devices()).reshape(4, 2), ("x", "y"))
+        assert sharded_axis_for(xy) is None
+
+    def test_forced_pallas_nondividing_mesh_falls_back(self):
+        """use_pallas=True under a mesh whose data axis does not divide E
+        must fall back to the XLA branch (logged), not trip the shard_map
+        wrapper's divisibility assert at trace time."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from relpose_gnn_tpu.models.attention import AttentionBlock
+        mesh = Mesh(np.array(jax.devices()).reshape(4, 2),
+                    ("data", "model"))
+        c = 1024
+        x = jax.random.normal(jax.random.PRNGKey(11), (3, 3, c))  # E=9
+        blk = AttentionBlock(c, use_pallas=True)
+        v = blk.init(jax.random.PRNGKey(12), x)
+        want = AttentionBlock(c, use_pallas=False).apply(v, x)
+        with jax.set_mesh(mesh):
+            got = jax.jit(lambda v, x: blk.apply(v, x))(v, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
 
     def test_core_sharded_matches_xla(self):
         """shard_map wrapper over the 8-device mesh == XLA formulation

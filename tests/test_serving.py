@@ -51,6 +51,32 @@ class TestCachedServing:
         np.testing.assert_allclose(np.asarray(full["pred"]),
                                    np.asarray(cached["pred"]), atol=1e-5)
 
+    def test_static_anchor_matches_full_path(self):
+        """knn=0 protocol: the cached step must honor the SAME
+        construction-order static anchor as make_eval_step, so the two
+        run_eval branches report medians under one protocol (the
+        VERDICT-r2-weak-#1 rule, extended to the serving branch)."""
+        model, state, batch = setup(knn=0)
+        variables = {"params": state.params["model"],
+                     "batch_stats": state.batch_stats}
+
+        full = make_eval_step(ref_node=0, static_anchor=1)(state, batch)
+
+        q_imgs = batch["images"][:, 0]
+        nbr_imgs = batch["images"][:, 1:]
+        b, m = nbr_imgs.shape[:2]
+        embed = serving.make_embed_fn(model)
+        nbr_emb = embed(variables, nbr_imgs.reshape((b * m,)
+                                                    + nbr_imgs.shape[2:]))
+        nbr_emb = nbr_emb.reshape(b, m, -1)
+        cached = serving.make_cached_eval_step(model, ref_node=0,
+                                               static_anchor=1)(
+            variables, q_imgs, nbr_emb, batch["poses"][:, 1:],
+            batch["adj"])
+        np.testing.assert_array_equal(np.asarray(cached["nbr"]), 1)
+        np.testing.assert_allclose(np.asarray(full["pred"]),
+                                   np.asarray(cached["pred"]), atol=1e-5)
+
     def test_embed_database_batching(self):
         model, state, batch = setup(b=2)
         variables = {"params": state.params["model"],
