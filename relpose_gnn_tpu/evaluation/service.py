@@ -37,6 +37,16 @@ from relpose_gnn_tpu.retrieval.netvlad_index import (IMAGENET_MEAN,
 from relpose_gnn_tpu.retrieval.subsample import subsample_neighbors
 
 
+def _to_float01(q: jax.Array) -> jax.Array:
+    """uint8 [B, H, W, 3] -> float01, on device, EAGERLY on purpose: under
+    jit XLA rewrites the /255 into a reciprocal multiply (measured: bitwise
+    different from the host's true division), which would break the uint8
+    == quantized-float bit-identity contract (tested).  Eager ops produce
+    the exact host division, and the SAME float query program then runs
+    for both input dtypes."""
+    return q.astype(jnp.float32) / 255.0
+
+
 @dataclasses.dataclass
 class ServiceConfig:
     seq_len: int = 8                 # graph size (query + seq_len-1 nbrs)
@@ -130,9 +140,16 @@ class RelocalizationService:
         cfg = self.cfg
         k = cfg.seq_len - 1
 
-        @partial(jax.jit, static_argnames=())
-        def query_fn(model_vars, netvlad_vars, db_desc, db_emb, db_poses,
-                     query01, query_model_in, rng):
+        # `model_norm` is a static (traced-in) argument: the uint8->float
+        # conversion and scene normalization run INSIDE the jitted program
+        # so XLA fuses them into the first convs — no eager per-call
+        # dispatches through the host, and the [B, H, W, 3] query tensor
+        # is never materialized twice in HBM.  Pass the SAME function
+        # object across calls (a fresh lambda per call would retrace).
+        @partial(jax.jit, static_argnums=(0,))
+        def query_fn(model_norm, model_vars, netvlad_vars, db_desc,
+                     db_emb, db_poses, query01, rng):
+            query_model_in = model_norm(query01)
             b = query01.shape[0]
             # 1. retrieval descriptor + similarities (one matmul)
             q_desc = self.netvlad.apply(netvlad_vars,
@@ -192,10 +209,14 @@ class RelocalizationService:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         q = jnp.asarray(query_images01)  # uint8 rides the thin transfer
         if q.dtype == jnp.uint8:
-            q = q.astype(jnp.float32) / 255.0
-        return self._query_fn(self.model_vars, self.netvlad_vars,
-                              self.db_desc, self.db_emb, self.db_poses,
-                              q, model_norm(q), rng)
+            # separate step (NOT fused into query_fn): the same float
+            # query program runs for both dtypes, so uint8 results stay
+            # bit-identical to quantized-float queries (tested) and uint8
+            # callers don't pay a second full-model compile
+            q = _to_float01(q)
+        return self._query_fn(model_norm, self.model_vars,
+                              self.netvlad_vars, self.db_desc, self.db_emb,
+                              self.db_poses, q, rng)
 
     def query_stream(self, batches, model_norm, depth: int = 2,
                      rng: jax.Array | None = None):

@@ -148,8 +148,7 @@ class TestShardedFullService:
         b = 16
         q = jnp.asarray(rng.random((b, 32, 40, 3)).astype(np.float32))
         q = jax.device_put(q, batch_sharding(mesh, 4))
-        q_in = jax.device_put(norm(q), batch_sharding(mesh, 4))
-        out = svc._query_fn(mv, nv, db_desc, db_emb, db_p, q, q_in,
+        out = svc._query_fn(norm, mv, nv, db_desc, db_emb, db_p, q,
                             jax.random.PRNGKey(3))
         assert out["pose"].shape == (b, 6)
         assert np.isfinite(np.asarray(out["pose"])).all()
