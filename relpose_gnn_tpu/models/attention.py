@@ -31,10 +31,15 @@ Kernel gating (trace-time):
     runs through the shard_map wrapper `attention_core_sharded` — the E
     axis shards over `data` with no collectives — provided E divides the
     axis; otherwise the XLA branch (which GSPMD partitions natively) is
-    used and logged once.  Programs with NO ambient mesh are single-device
-    by construction (even on a multi-chip host), so they keep the plain
-    kernel (ADVICE r2 #4).  Repo convention: every multi-device program
-    runs under `jax.set_mesh` (experiment.py, dryrun, tests).
+    used and logged once (this fallback applies to FORCED Pallas too —
+    forcing never trips the wrapper's divisibility assert).  Pure-TP
+    meshes (data axis size 1) always take the XLA branch: rows are not
+    sharded over `model`, so shard_mapping E over it would insert
+    boundary collectives (ops/att_pallas.sharded_axis_for).  Programs
+    with NO ambient mesh are single-device by construction (even on a
+    multi-chip host), so they keep the plain kernel (ADVICE r2 #4).
+    Repo convention: every multi-device program runs under
+    `jax.set_mesh` (experiment.py, dryrun, tests).
 """
 
 from __future__ import annotations
