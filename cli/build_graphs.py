@@ -120,10 +120,60 @@ def use_netvlad_for(retrieval: str, dataset: str) -> bool:
                                       and dataset == "7Scenes")
 
 
+def _align_vlad_index(index, index_path: str, database_ds):
+    """Re-order VLAD index rows to database_ds frame order by joining on
+    '<seqdir>/<filename>' path suffixes (build_vlad_index.py writes the
+    per-row path list).  Returns (descriptors [n_db, D], missing [n_db]
+    bool — frames with no index row, to be masked invalid)."""
+    import os.path as osp
+
+    n_db = len(database_ds)
+    desc = index.descriptors
+    missing = np.zeros(n_db, bool)
+    paths_file = index_path + ".paths.txt"
+
+    def key(p):
+        parts = p.replace("\\", "/").rstrip("/").split("/")
+        return "/".join(parts[-2:])
+
+    if osp.isfile(paths_file):
+        with open(paths_file) as f:
+            idx_paths = [ln.strip() for ln in f if ln.strip()]
+        if len(idx_paths) != len(desc):
+            raise ValueError(
+                f"{paths_file}: {len(idx_paths)} paths vs "
+                f"{len(desc)} index rows — stale index?")
+        row_by_key = {key(p): r for r, p in enumerate(idx_paths)}
+        aligned = np.zeros((n_db, desc.shape[1]), desc.dtype)
+        for i in range(n_db):
+            r = row_by_key.get(key(database_ds.c_imgs[i]))
+            if r is None:
+                missing[i] = True
+            else:
+                aligned[i] = desc[r]
+        if missing.any():
+            print(f"WARNING: {int(missing.sum())}/{n_db} database frames "
+                  f"have no VLAD index row (no ORB features at build "
+                  f"time?); they will never be retrieved")
+        return aligned, missing
+    # legacy index without a paths file: row order must already equal
+    # dataset order — at least enforce the length
+    if len(desc) != n_db:
+        raise ValueError(
+            f"VLAD index has {len(desc)} rows but the database split has "
+            f"{n_db} frames and {paths_file} is missing — rebuild the "
+            f"index with cli/build_vlad_index.py (writes the path list "
+            f"used to align the two orders)")
+    print(f"WARNING: {paths_file} missing; assuming index row order == "
+          f"dataset_train.txt order")
+    return desc, missing
+
+
 def _retrieval_fns(args, scene, query_ds, database_ds):
     """Build similarity/invalid callbacks for IR mode."""
     n_db = len(database_ds)
     db_is_q = args.mode == "train"
+    extra_invalid = None  # e.g. frames absent from the VLAD index
 
     if use_netvlad_for(args.retrieval, args.dataset):
         from PIL import Image
@@ -153,9 +203,23 @@ def _retrieval_fns(args, scene, query_ds, database_ds):
         def sim_fn(qi):
             return db_desc @ q_desc[qi]
     else:
+        import os.path as osp
+
         from relpose_gnn_tpu.retrieval.vlad import (VLADIndex,
                                                     orb_descriptors)
         index = VLADIndex.load(args.vlad_index)
+        # Align index rows to database_ds order BY PATH: the index is
+        # built from sorted(glob) minus ORB-failure skips, the dataset
+        # from dataset_train.txt order minus outlier-pose skips — the two
+        # orders are NOT the same on real data, and treating index rows
+        # as dataset indices would silently attach wrong images/poses to
+        # every graph.  build_vlad_index.py writes <index>.paths.txt for
+        # exactly this join; rows with no match (or dataset frames absent
+        # from the index) are masked invalid, never retrieved.
+        db_desc_vlad, vlad_missing = _align_vlad_index(
+            index, args.vlad_index, database_ds)
+        if vlad_missing.any():
+            extra_invalid = vlad_missing
 
         def sim_fn(qi):
             from PIL import Image
@@ -164,12 +228,24 @@ def _retrieval_fns(args, scene, query_ds, database_ds):
             if desc is None:
                 return np.zeros(n_db)
             q = index.describe(np.asarray(desc, np.float32))
-            return index.descriptors @ q
+            return db_desc_vlad @ q
+
+    # cross-connect: exclude the query's whole source sequence via the
+    # datasets' per-frame seq_id; the reference skips the exclusion for
+    # 'heads' (single training sequence — excluding it would leave no
+    # candidates, dataset_7Scenes_multi.py:247)
+    cross = (args.cross_connect and db_is_q and scene != "heads"
+             and hasattr(database_ds, "seq_id")
+             and hasattr(query_ds, "seq_id"))
 
     def invalid_fn(qi):
-        return self_exclusion_mask(n_db, qi, db_is_q,
-                                   cross_connect=args.cross_connect,
-                                   group_len=None)
+        mask = self_exclusion_mask(
+            n_db, qi, db_is_q, cross_connect=cross,
+            seq_ids=database_ds.seq_id if cross else None,
+            query_seq=int(query_ds.seq_id[qi]) if cross else None)
+        if extra_invalid is not None:
+            mask |= extra_invalid
+        return mask
 
     return sim_fn, invalid_fn
 

@@ -69,16 +69,25 @@ def parse_args(argv):
 
 
 def _scene_graph_dir(root: Path, scene: str, dataset: str,
-                     seq_len: int) -> Path:
+                     seq_len: int, single_scene: bool = False) -> Path:
+    """Resolve a scene's graph store.  The bare `root` fallback (pointing
+    --graph-data-dir directly at one store) is only legal when evaluating
+    a SINGLE scene — with several scenes it would silently evaluate the
+    same store for every row of the parity table."""
     sp = 3 if dataset == "Cambridge" else 5
-    for cand in (root / f"{scene}_fc{seq_len}_sp{sp}_test",
-                 root / scene, root):
+    cands = [root / f"{scene}_fc{seq_len}_sp{sp}_test", root / scene]
+    if single_scene:
+        cands.append(root)
+    for cand in cands:
         if cand.is_dir() and (
                 (cand / "meta.json").is_file()
                 or (cand / "processed").is_dir()
                 or list(cand.glob("data_*.pt"))):
             return cand
-    raise FileNotFoundError(f"no graph store for {scene} under {root}")
+    raise FileNotFoundError(
+        f"no graph store for {scene} under {root} (expected "
+        f"{cands[0].name}/ or {scene}/"
+        + (" or the root itself" if single_scene else "") + ")")
 
 
 def _make_state(model, params, stats):
@@ -172,7 +181,8 @@ def main(argv=None):
     root = Path(args.graph_data_dir)
     rows = []
     for scene in scenes:
-        gdir = _scene_graph_dir(root, scene, args.dataset, args.seq_len)
+        gdir = _scene_graph_dir(root, scene, args.dataset, args.seq_len,
+                                single_scene=len(scenes) == 1)
         if (gdir / "meta.json").is_file():  # packed store
             ds = PackedGraphDataset(str(gdir))
             preds, targs = [], []

@@ -35,6 +35,10 @@ def parse_args(argv):
     p.add_argument("--netvlad-checkpoint", default="",
                    help="netvlad_vgg16.tar; empty = random init (retrieval "
                         "quality will be meaningless)")
+    p.add_argument("--pose-stat-path", type=str, default="",
+                   help="Cambridge translation stats file (required for "
+                        "pose-stat-normalized Cambridge checkpoints; "
+                        "without it translations stay raw meters)")
     p.add_argument("--stats-path", default=None,
                    help="7-Scenes per-scene stats dir (default: bundled)")
     p.add_argument("--model-name", default="R3")
@@ -69,8 +73,14 @@ def _load_split(args, train: bool):
         return SevenScenes(args.scene, args.data_path, train=train,
                            image_size=args.image_size)
     from relpose_gnn_tpu.data.cambridge import CambridgeLandmark
+    if not args.pose_stat_path:
+        print("WARNING: Cambridge without --pose-stat-path: translations "
+              "stay raw meters (checkpoints trained on normalized "
+              "translations will NOT relocalize correctly)")
     return CambridgeLandmark(args.scene, args.data_path, train=train,
                              image_size=args.image_size,
+                             pose_stats_file=args.pose_stat_path or None,
+                             normalize_translation=bool(args.pose_stat_path),
                              normalize_images=False)
 
 
@@ -99,7 +109,12 @@ def main(argv=None):
                             droprate=0.0, dtype=args.dtype)
     model = build_model(ecfg)
     h = args.image_size
-    w = {256: 341}.get(h, h)  # 7-Scenes 4:3 -> 256x341 after resize
+    # serve at the same aspect the graph builder stores: 7-Scenes 640x480
+    # (4:3 -> 256x341), Cambridge 1920x1080 (16:9 -> 256x455) — a model
+    # trained on 455-wide Cambridge stores must NOT be served 341-wide
+    # center crops (cli/build_graphs.py widths)
+    aspect = 4 / 3 if args.dataset == "7Scenes" else 16 / 9
+    w = int(round(h * aspect))
     state = create_train_state(
         jax.random.PRNGKey(args.seed), model, TrainerConfig(),
         jnp.ones((1, args.seq_len, h, w, 3)),
@@ -151,11 +166,10 @@ def main(argv=None):
 
     db = _load_split(args, train=True)
     print(f"building database: {len(db)} frames ...")
-    imgs = np.zeros((len(db), h, w, 3), np.float32)
-    for i in range(len(db)):
-        img = db.load_image(i)
-        if img is not None:
-            imgs[i] = _fit(img, h, w)
+    # uint8 (4x less host RAM than float32 for multi-thousand-frame
+    # splits) with the reference's corrupt-frame skip-forward contract
+    from relpose_gnn_tpu.training.experiment import load_database_images
+    imgs = load_database_images(db, h, w)
     t0 = time.perf_counter()
     svc.build(imgs, db.poses, model_norm, batch=args.batch_size)
     jax.block_until_ready(svc.db_desc)
@@ -166,6 +180,26 @@ def main(argv=None):
     print(f"serving {len(q)} queries (batch {args.batch_size}, "
           f"pipeline depth {args.pipeline_depth}) ...")
 
+    src_indices: list[int] = []  # served frame per output row
+
+    def _load_skip_forward(idx):
+        """Reference corrupt-frame contract: serve the next readable
+        frame (seven_scenes.py:131-144) instead of an all-black image
+        that would yield a garbage pose silently counted in the medians."""
+        j = idx
+        while j < len(q):
+            img = q.load_image(j)
+            if img is not None:
+                return j, img
+            j += 1
+        j = idx - 1  # tail corruption: scan backward
+        while j >= 0:
+            img = q.load_image(j)
+            if img is not None:
+                return j, img
+            j -= 1
+        raise ValueError("query split has no readable frames")
+
     def query_batches():
         for i in range(0, len(q), args.batch_size):
             n = min(args.batch_size, len(q) - i)
@@ -174,11 +208,11 @@ def main(argv=None):
             # uint8 quantization, so serving == training data parity)
             batch = np.zeros((n, h, w, 3), np.uint8)
             for j in range(n):
-                img = q.load_image(i + j)
-                if img is not None:
-                    batch[j] = np.round(
-                        np.clip(_fit(img, h, w), 0, 1) * 255
-                    ).astype(np.uint8)
+                src, img = _load_skip_forward(i + j)
+                src_indices.append(src)
+                batch[j] = np.round(
+                    np.clip(_fit(img, h, w), 0, 1) * 255
+                ).astype(np.uint8)
             yield batch
 
     # pipelined: while batch i computes on device, the host decodes and
@@ -194,7 +228,13 @@ def main(argv=None):
           f"({served / max(t_serve, 1e-9):.0f} q/s incl. retrieval AND "
           f"host image decode, pipelined)")
 
-    err = compute_pose_errors(poses_out, q.poses[:len(poses_out)])
+    pose_mean = pose_std = None
+    if args.dataset == "Cambridge" and args.pose_stat_path:
+        from relpose_gnn_tpu.data.cambridge import load_pose_stats
+        pose_mean, pose_std = load_pose_stats(args.pose_stat_path)
+    targ = q.poses[np.asarray(src_indices[:len(poses_out)])]
+    err = compute_pose_errors(poses_out, targ,
+                              pose_mean=pose_mean, pose_std=pose_std)
     print(err)
     if args.out:
         np.savez(args.out, pose6=poses_out,

@@ -57,6 +57,9 @@ class CambridgeLandmark:
 
         self._jitter_rng = np.random.default_rng(self.seed)
         self.c_imgs: list[str] = []
+        # per-frame source-sequence number from the 'seqN/...' path prefix
+        # (for the cross-connect same-sequence exclusion)
+        seq_ids: list[int] = []
         poses = []
         for row in rows:
             t_c2w = np.asarray([float(v) for v in row[1:4]])
@@ -72,7 +75,10 @@ class CambridgeLandmark:
             T4[:3, 3] = t
             poses.append(pose_ops.process_poses_cambridge(T4))
             self.c_imgs.append(osp.join(base, row[0]))
+            prefix = row[0].split("/")[0]  # 'seqN'
+            seq_ids.append(int(prefix[3:]) if prefix[3:].isdigit() else -1)
 
+        self.seq_id = np.asarray(seq_ids, np.int32)
         self.poses = np.asarray(poses, np.float32)
         if self.normalize_translation:
             assert self.pose_stats_file, "pose stats file required"

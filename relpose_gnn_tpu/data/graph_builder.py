@@ -88,6 +88,14 @@ def build_graphs(query_dataset, database_dataset, out_root: str,
             if len(nbrs) < n - 1:  # degenerate: pad with best-ranked
                 pad = [i for i in order if i not in set(nbrs.tolist())]
                 nbrs = np.concatenate([nbrs, pad[:n - 1 - len(nbrs)]])
+            if len(nbrs) < n - 1:
+                # the FILTERED ranking itself has < n-1 entries (tiny DB
+                # or heavy exclusion): cycle what we have rather than
+                # crash writer.add with a short nbr_idx row; an empty
+                # ranking falls back to RAND over the full DB
+                nbrs = (np.resize(nbrs, n - 1) if len(nbrs) else
+                        rng.choice(n_db, size=n - 1,
+                                   replace=n_db < n - 1))
 
         images = np.zeros((n, height, width, 3), np.float32)
         poses = np.zeros((n, 6), np.float32)
@@ -133,16 +141,34 @@ def _fit(img: np.ndarray, height: int, width: int) -> np.ndarray:
 def self_exclusion_mask(n_db: int, query_index: int,
                         database_is_query_set: bool,
                         cross_connect: bool = False,
-                        group_len: int | None = None) -> np.ndarray:
+                        group_len: int | None = None,
+                        seq_ids: np.ndarray | None = None,
+                        query_seq: int | None = None) -> np.ndarray:
     """Invalid-candidate mask (dataset_7Scenes_multi.py:245-253): exclude
-    the query itself, or its whole group when cross-connecting."""
+    the query itself, or — when cross-connecting — its whole source
+    sequence, so training graphs connect across sequences only.
+
+    Cross-connect group identity, in preference order:
+      * `seq_ids` [n_db] + `query_seq` — the datasets' per-frame source
+        sequence (SevenScenes/CambridgeLandmark `.seq_id`), robust to
+        skipped frames and ragged sequences;
+      * `group_len` — the reference's fixed-block arithmetic
+        (`index // scene_seq_len`, dataset_7Scenes_multi.py:249-250),
+        only valid when every sequence has exactly group_len frames.
+
+    The reference's 'heads' exception (`if seq != 'heads'`, :247 —
+    heads' single training sequence would otherwise exclude everything)
+    is the CALLER's to apply, since only it knows the scene name
+    (cli/build_graphs.py does)."""
     mask = np.zeros(n_db, bool)
     if not database_is_query_set:
         return mask
-    if cross_connect and group_len:
+    if cross_connect and seq_ids is not None:
+        assert query_seq is not None
+        mask |= np.asarray(seq_ids) == query_seq
+    elif cross_connect and group_len:
         g = query_index // group_len
         mask[g * group_len:(g + 1) * group_len] = True
-    else:
-        if query_index < n_db:
-            mask[query_index] = True
+    if query_index < n_db:
+        mask[query_index] = True
     return mask

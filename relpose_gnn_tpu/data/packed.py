@@ -176,6 +176,14 @@ class ConcatPackedDataset:
                 self._dtypes[k] = (
                     a.dtype if k not in self._dtypes
                     else np.promote_types(self._dtypes[k], a.dtype))
+        # shape policy, ALSO checked once: num_nodes/H/W must agree or
+        # the first shuffled batch mixing members dies mid-epoch with an
+        # opaque broadcast error instead of a clear error naming the store
+        shapes = {d.root: d.images.shape[1:] for d in datasets}
+        if len(set(shapes.values())) > 1:
+            raise ValueError(
+                "concatenated stores have mixed graph shapes "
+                f"(num_nodes, H, W, C): { {k: tuple(v) for k, v in shapes.items()} }")
         # per-scene normalization stats, indexed by member dataset
         self._mean_rows = np.stack([d.mean for d in datasets]).astype(
             np.float32)

@@ -79,6 +79,9 @@ class SevenScenes:
         # back to its GT row (seven_scenes.py:56,100-101) — the eval
         # protocol uses it to fetch matching GT poses
         self.gt_idx = np.empty((0,), np.int64)
+        # per-frame source-sequence number (for the cross-connect
+        # same-sequence exclusion, dataset_7Scenes_multi.py:245-252)
+        self.seq_id = np.empty((0,), np.int32)
         gt_offset = 0
         pose_blocks: list[np.ndarray] = []
         for seq in seqs:
@@ -119,6 +122,8 @@ class SevenScenes:
                     for i in frame_idx])
                 align_R, align_t, align_s = np.eye(3), np.zeros(3), 1.0
             self.gt_idx = np.hstack([self.gt_idx, gt_offset + frame_idx])
+            self.seq_id = np.hstack([
+                self.seq_id, np.full(len(frame_idx), seq, np.int32)])
             gt_offset += n_frames
             for i in frame_idx:
                 self.c_imgs.append(

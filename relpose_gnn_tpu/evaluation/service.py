@@ -114,7 +114,9 @@ class RelocalizationService:
               model_norm, batch: int = 16) -> None:
         """Embed every database frame: NetVLAD descriptor + backbone node
         embedding.  `model_norm(images01) -> model input` applies the
-        scene normalization used at graph-build time."""
+        scene normalization used at graph-build time.  Accepts float in
+        [0, 1] or uint8 (4x less host RAM and H2D traffic; converted on
+        device per chunk, same contract as query())."""
 
         @jax.jit
         def embed(chunk):
@@ -127,7 +129,10 @@ class RelocalizationService:
 
         descs, embs = [], []
         for i in range(0, len(db_images01), batch):
-            d, e = embed(jnp.asarray(db_images01[i:i + batch]))
+            chunk = jnp.asarray(db_images01[i:i + batch])
+            if chunk.dtype == jnp.uint8:
+                chunk = _to_float01(chunk)
+            d, e = embed(chunk)
             descs.append(d)
             embs.append(e)
         self.db_desc = jnp.concatenate(descs)

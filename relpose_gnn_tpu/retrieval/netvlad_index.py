@@ -101,7 +101,10 @@ class NetVLADIndex:
         """Cosine similarity of queries vs the whole DB: [Q, M]."""
         assert self.descriptors is not None, "call build() first"
         q = jnp.asarray(query_desc)
-        return np.asarray(q @ self.descriptors.T)
+        # HIGHEST: similarity ranking is numerically sensitive on
+        # near-duplicate frames (CLAUDE.md numerics rule)
+        return np.asarray(jnp.matmul(q, self.descriptors.T,
+                                     precision=jax.lax.Precision.HIGHEST))
 
     def topk(self, query_desc: np.ndarray, k: int):
         scores, idx = subsample.cosine_topk(self.descriptors,

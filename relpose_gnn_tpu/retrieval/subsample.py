@@ -91,5 +91,6 @@ def cosine_topk(db: jax.Array, queries: jax.Array, k: int
     db [M, D] and queries [Q, D] are L2-normalized descriptors.
     Returns (scores [Q, k], indices [Q, k]).
     """
-    sim = queries @ db.T
+    sim = jnp.matmul(queries, db.T,
+                    precision=jax.lax.Precision.HIGHEST)  # feeds top_k
     return jax.lax.top_k(sim, k)

@@ -61,12 +61,17 @@ def vlad_aggregate(descriptors: jax.Array, centers: jax.Array) -> jax.Array:
     center, then power-normalizes (signed sqrt) and L2-normalizes — the
     `improvedVLAD` recipe (VLAD.py:177-203) as one one-hot matmul.
     """
+    # HIGHEST precision: these distances feed argmin (CLAUDE.md numerics
+    # rule — the default bf16-class fast path can flip near-tie
+    # assignments and change descriptors vs the numpy oracle)
     d2 = (jnp.sum(descriptors ** 2, axis=1)[:, None]
-          - 2.0 * descriptors @ centers.T
+          - 2.0 * jnp.matmul(descriptors, centers.T,
+                             precision=jax.lax.Precision.HIGHEST)
           + jnp.sum(centers ** 2, axis=1)[None])
     assign = jax.nn.one_hot(jnp.argmin(d2, axis=1), centers.shape[0],
                             dtype=descriptors.dtype)          # [P, K]
-    agg = assign.T @ descriptors                               # [K, D]
+    agg = jnp.matmul(assign.T, descriptors,
+                     precision=jax.lax.Precision.HIGHEST)        # [K, D]
     mass = jnp.sum(assign, axis=0)[:, None]                    # [K, 1]
     v = agg - mass * centers
     v = v.reshape(-1)
@@ -101,7 +106,8 @@ class VLADIndex:
         # [M, K*D] matrix per query would dominate latency on a slow link)
         if getattr(self, "_db_device", None) is None:
             self._db_device = jnp.asarray(self.descriptors)
-        sim = self._db_device @ jnp.asarray(q)
+        sim = jnp.matmul(self._db_device, jnp.asarray(q),
+                        precision=jax.lax.Precision.HIGHEST)
         scores, idx = jax.lax.top_k(sim, k)
         return np.asarray(scores), np.asarray(idx)
 

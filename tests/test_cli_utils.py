@@ -212,3 +212,80 @@ class TestTrainCLIEndToEnd:
             "--backbone", "resnet18", "--feat-dim", "32",
             "--dtype", "float32", "--knn", "2"])
         assert osp.isdir(str(tmp_path / "out"))
+
+
+class TestVladIndexAlignment:
+    """cli/build_graphs._align_vlad_index: index rows (sorted-glob order,
+    ORB-failure skips) must be joined to dataset order by path, never
+    positionally (review finding: positional use attaches wrong
+    images/poses to every graph when the orders differ)."""
+
+    def _index(self, tmp_path, paths, desc):
+        import pickle
+        ipath = str(tmp_path / "idx.pkl")
+        with open(ipath, "wb") as f:
+            pickle.dump({"centers": np.zeros((2, 8), np.float32),
+                         "descriptors": desc}, f)
+        with open(ipath + ".paths.txt", "w") as f:
+            f.write("\n".join(paths))
+        return ipath
+
+    def _ds(self, paths):
+        class DS:
+            c_imgs = paths
+
+            def __len__(self):
+                return len(self.c_imgs)
+        return DS()
+
+    def test_reorders_and_masks_missing(self, tmp_path):
+        import importlib
+        bg = importlib.import_module("build_graphs")
+        from relpose_gnn_tpu.retrieval.vlad import VLADIndex
+
+        desc = np.arange(6, dtype=np.float32).reshape(3, 2)
+        # index in lexicographic order; dataset in txt order (reversed),
+        # with one frame ('seq1/c.png') absent from the index
+        ipath = self._index(tmp_path,
+                            ["/x/seq1/a.png", "/x/seq1/b.png",
+                             "/x/seq2/z.png"], desc)
+        ds = self._ds(["/raw/seq2/z.png", "/raw/seq1/c.png",
+                       "/raw/seq1/a.png"])
+        aligned, missing = bg._align_vlad_index(VLADIndex.load(ipath),
+                                                ipath, ds)
+        np.testing.assert_array_equal(aligned[0], desc[2])  # seq2/z
+        np.testing.assert_array_equal(aligned[2], desc[0])  # seq1/a
+        np.testing.assert_array_equal(missing, [False, True, False])
+
+    def test_stale_paths_file_rejected(self, tmp_path):
+        import importlib
+
+        import pytest
+        bg = importlib.import_module("build_graphs")
+        from relpose_gnn_tpu.retrieval.vlad import VLADIndex
+
+        ipath = self._index(tmp_path, ["/x/seq1/a.png"],
+                            np.zeros((2, 2), np.float32))
+        with pytest.raises(ValueError, match="stale index"):
+            bg._align_vlad_index(VLADIndex.load(ipath), ipath,
+                                 self._ds(["/r/seq1/a.png"]))
+
+    def test_legacy_index_without_paths_requires_length_match(
+            self, tmp_path):
+        import importlib
+        import os
+
+        import pytest
+        bg = importlib.import_module("build_graphs")
+        from relpose_gnn_tpu.retrieval.vlad import VLADIndex
+
+        ipath = self._index(tmp_path, ["/x/seq1/a.png", "/x/seq1/b.png"],
+                            np.zeros((2, 2), np.float32))
+        os.remove(ipath + ".paths.txt")
+        idx = VLADIndex.load(ipath)
+        # matching length: passes through positionally with a warning
+        aligned, missing = bg._align_vlad_index(
+            idx, ipath, self._ds(["/r/seq1/a.png", "/r/seq1/b.png"]))
+        assert aligned.shape == (2, 2) and not missing.any()
+        with pytest.raises(ValueError, match="rebuild the index"):
+            bg._align_vlad_index(idx, ipath, self._ds(["/r/seq1/a.png"]))

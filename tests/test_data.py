@@ -356,6 +356,57 @@ class TestGraphBuilder:
         m3 = self_exclusion_mask(10, 3, False)
         assert not m3.any()
 
+    def test_self_exclusion_mask_seq_ids(self):
+        """Cross-connect via per-frame seq ids: the query's WHOLE source
+        sequence is excluded (dataset_7Scenes_multi.py:245-252), robust
+        to ragged sequences the fixed-block arithmetic can't express."""
+        seq_ids = np.array([1, 1, 1, 2, 2, 3, 3, 3, 3], np.int32)
+        m = self_exclusion_mask(9, 4, True, cross_connect=True,
+                                seq_ids=seq_ids, query_seq=2)
+        np.testing.assert_array_equal(
+            m, seq_ids == 2)
+        # self still excluded even if seq ids disagree (defensive)
+        m2 = self_exclusion_mask(9, 0, True, cross_connect=True,
+                                 seq_ids=seq_ids, query_seq=2)
+        assert m2[0] and m2[3] and m2[4] and m2.sum() == 3
+
+    def test_seven_scenes_seq_id(self, tmp_path):
+        write_7scenes_fixture(str(tmp_path), n_seqs=2, n_frames=3)
+        from relpose_gnn_tpu.data.seven_scenes import SevenScenes
+        ds = SevenScenes("chess", str(tmp_path), train=True, image_size=16)
+        np.testing.assert_array_equal(ds.seq_id, [1, 1, 1, 2, 2, 2])
+
+    def test_ir_mode_short_ranking_pads(self, tmp_path):
+        """IR retrieval over a DB smaller than seq_len-1 must cycle the
+        available neighbors, not crash writer.add with a short nbr_idx
+        row (review finding)."""
+
+        class Toy:
+            def __init__(self, n):
+                rng = np.random.default_rng(1)
+                self._imgs = rng.random((n, 8, 8, 3)).astype(np.float32)
+                self.poses = rng.normal(size=(n, 6)).astype(np.float32)
+
+            def __len__(self):
+                return len(self.poses)
+
+            def load_image(self, i):
+                return self._imgs[i]
+
+        query, database = Toy(3), Toy(3)
+        cfg = GraphBuilderConfig(seq_len=8, retrieval_mode="IR", seed=0)
+        sim = np.eye(3)
+        n = build_graphs(query, database, str(tmp_path / "g"), cfg,
+                         similarity_fn=lambda qi: sim[qi],
+                         invalid_fn=lambda qi: self_exclusion_mask(
+                             3, qi, True),
+                         height=8, width=8)
+        assert n == 3
+        ds = PackedGraphDataset(str(tmp_path / "g"))
+        assert ds.nbr_idx.shape == (3, 7)
+        # every neighbor is a real DB index (no zero-padding artifacts)
+        assert (ds.nbr_idx >= 0).all() and (ds.nbr_idx < 3).all()
+
 
 class TestPipeline:
     def _packed(self, tmp_path, n=6):
@@ -512,6 +563,31 @@ class TestConcatDtypePolicy:
             w.finalize()
             roots.append(root)
         with pytest.raises(ValueError, match="mixed image dtypes"):
+            ConcatPackedDataset([PackedGraphDataset(r) for r in roots])
+
+    def test_mixed_shapes_rejected_at_construction(self, tmp_path):
+        """Stores with different num_nodes/H/W must fail at construction
+        with the offending store named, not mid-epoch on the first
+        shuffled batch that mixes members (review finding)."""
+        import pytest
+        from relpose_gnn_tpu.data.packed import (ConcatPackedDataset,
+                                                 PackedGraphDataset,
+                                                 PackedGraphWriter)
+
+        rng = np.random.default_rng(0)
+        roots = []
+        for i, nodes in enumerate((2, 3)):
+            root = str(tmp_path / f"m{i}")
+            w = PackedGraphWriter(root, num_graphs=2, num_nodes=nodes,
+                                  height=4, width=4, mean=[0] * 3,
+                                  std=[1] * 3)
+            for _ in range(2):
+                w.add(rng.random((nodes, 4, 4, 3)).astype(np.float32),
+                      np.zeros((nodes, 6), np.float32),
+                      np.ones((nodes, nodes), bool))
+            w.finalize()
+            roots.append(root)
+        with pytest.raises(ValueError, match="mixed graph shapes"):
             ConcatPackedDataset([PackedGraphDataset(r) for r in roots])
 
 
