@@ -76,6 +76,7 @@ class PoseNet(nn.Module):
 
     feat_dim: int = 2048
     droprate: float = 0.5
+    eval_dropout: bool = False  # replicate F.dropout(training=True) quirk
     dtype: Any = None
 
     @nn.compact
@@ -84,7 +85,8 @@ class PoseNet(nn.Module):
                    dtype=self.dtype, name="encoder")(images, train=train)
         x = nn.relu(x)
         if self.droprate > 0:
-            x = nn.Dropout(self.droprate)(x, deterministic=not train)
+            x = nn.Dropout(self.droprate)(
+                x, deterministic=not (train or self.eval_dropout))
         xyz = nn.Dense(3, name="fc_xyz")(x)
         wpqr = nn.Dense(3, name="fc_wpqr")(x)
         return jnp.concatenate([xyz, wpqr], axis=1)
@@ -96,6 +98,7 @@ class PoseNetNoLog(nn.Module):
 
     feat_dim: int = 2048
     droprate: float = 0.5
+    eval_dropout: bool = False  # replicate F.dropout(training=True) quirk
     dtype: Any = None
 
     @nn.compact
@@ -104,7 +107,8 @@ class PoseNetNoLog(nn.Module):
                    dtype=self.dtype, name="encoder")(images, train=train)
         x = nn.relu(x)
         if self.droprate > 0:
-            x = nn.Dropout(self.droprate)(x, deterministic=not train)
+            x = nn.Dropout(self.droprate)(
+                x, deterministic=not (train or self.eval_dropout))
         xyz = nn.Dense(3, name="fc_xyz")(x)
         wpqr = nn.Dense(4, name="fc_wpqr")(x)
         return jnp.concatenate([xyz, wpqr], axis=1)
@@ -112,18 +116,28 @@ class PoseNetNoLog(nn.Module):
 
 class MapNet(nn.Module):
     """PoseNet applied framewise to a sequence [B, T, H, W, 3] -> [B, T, 6]
-    (posenet.py:79-105); pairs with `mapnet_criterion` (abs + VO terms)."""
+    (posenet.py:79-105); pairs with `mapnet_criterion` (abs + VO terms).
+
+    Reference quirk NOT replicated: `MapNet.forward` reshapes the
+    [N, T, C, H, W] blob with `view(N, 3, 256, -1)` (posenet.py:99),
+    folding the T frames into the WIDTH axis of a single image instead of
+    the batch axis (the sane `view(-1, *s[2:])` is commented out at :100).
+    That collapses a sequence into one 3x256x(T*W) pseudo-image — a
+    layout accident with no usable semantics; this module applies the
+    regressor per frame, which is what the MapNet paper and the
+    commented-out line specify."""
 
     feat_dim: int = 2048
     droprate: float = 0.5
+    eval_dropout: bool = False  # replicate F.dropout(training=True) quirk
     dtype: Any = None
 
     @nn.compact
     def __call__(self, images: jax.Array, train: bool = False) -> jax.Array:
         b, t = images.shape[:2]
         flat = images.reshape((b * t,) + images.shape[2:])
-        poses = PoseNet(self.feat_dim, self.droprate, self.dtype,
-                        name="posenet")(flat, train=train)
+        poses = PoseNet(self.feat_dim, self.droprate, self.eval_dropout,
+                        self.dtype, name="posenet")(flat, train=train)
         return poses.reshape(b, t, 6)
 
 
@@ -134,6 +148,7 @@ class AtLoc(nn.Module):
 
     feat_dim: int = 2048
     droprate: float = 0.5
+    eval_dropout: bool = False  # replicate F.dropout(training=True) quirk
     lstm: bool = False
     dtype: Any = None
 
@@ -149,7 +164,8 @@ class AtLoc(nn.Module):
         else:
             x = AttentionBlock(self.feat_dim, name="att")(x)
         if self.droprate > 0:
-            x = nn.Dropout(self.droprate)(x, deterministic=not train)
+            x = nn.Dropout(self.droprate)(
+                x, deterministic=not (train or self.eval_dropout))
         xyz = nn.Dense(3, name="fc_xyz")(x)
         wpqr = nn.Dense(3, name="fc_wpqr")(x)
         return jnp.concatenate([xyz, wpqr], axis=1)
@@ -162,12 +178,14 @@ class AtLocPlus(nn.Module):
 
     feat_dim: int = 2048
     droprate: float = 0.5
+    eval_dropout: bool = False  # replicate F.dropout(training=True) quirk
     dtype: Any = None
 
     @nn.compact
     def __call__(self, images: jax.Array, train: bool = False) -> jax.Array:
         b, t = images.shape[:2]
         flat = images.reshape((b * t,) + images.shape[2:])
-        poses = AtLoc(self.feat_dim, self.droprate, dtype=self.dtype,
+        poses = AtLoc(self.feat_dim, self.droprate,
+                      eval_dropout=self.eval_dropout, dtype=self.dtype,
                       name="atloc")(flat, train=train)
         return poses.reshape(b, t, 6)

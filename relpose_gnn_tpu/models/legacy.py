@@ -24,7 +24,16 @@ Parity notes:
     for these ablations).
   * PoseNetXOX returns the first N rows of the sparse rel output as a fake
     "absolute" prediction (:607-609); the dense equivalent gathers the
-    first N edges of the fc construction order.
+    first N edges of the fc construction order.  (In the reference the
+    first B*N rows of the BATCH-concatenated edge list span graph
+    boundaries — a batch-layout artifact, not a per-graph selection; the
+    dense form keeps the per-graph semantics.)
+  * Every dropout site in this family is the reference's functional
+    `F.dropout(x, p)` whose `training` flag defaults to True — i.e. ACTIVE
+    AT EVAL TOO (same quirk as the production model, see the quirk ledger
+    in models/posenet.py).  Default here is sane eval determinism;
+    `eval_dropout=True` replicates the reference behavior (an eval-time
+    'dropout' rng must then be provided).
 """
 
 from __future__ import annotations
@@ -46,6 +55,7 @@ class PoseNetX(nn.Module):
 
     feat_dim: int = 2048
     droprate: float = 0.5
+    eval_dropout: bool = False  # replicate F.dropout(training=True) quirk
     use_gnn: bool = True
     stage_sizes: tuple = (3, 4, 6, 3)
     dtype: Any = None
@@ -62,7 +72,8 @@ class PoseNetX(nn.Module):
             x = nn.relu(DenseConv(self.feat_dim, dtype=self.dtype,
                                   name="gnn1")(x, adj))
         if self.droprate > 0:
-            x = nn.Dropout(self.droprate)(x, deterministic=not train)
+            x = nn.Dropout(self.droprate)(
+                x, deterministic=not (train or self.eval_dropout))
         pred_abs = jnp.concatenate(
             [nn.Dense(3, name="fc_xyz")(x),
              nn.Dense(3, name="fc_wpqr")(x)], axis=-1)
@@ -75,6 +86,7 @@ class PoseNetX2(nn.Module):
 
     feat_dim: int = 2048
     droprate: float = 0.5
+    eval_dropout: bool = False  # replicate F.dropout(training=True) quirk
     use_gnn: bool = True
     stage_sizes: tuple = (3, 4, 6, 3)
     dtype: Any = None
@@ -91,7 +103,8 @@ class PoseNetX2(nn.Module):
             x = nn.relu(DenseConv(self.feat_dim, dtype=self.dtype,
                                   name="gnn1")(x, adj))
         if self.droprate > 0:
-            x = nn.Dropout(self.droprate)(x, deterministic=not train)
+            x = nn.Dropout(self.droprate)(
+                x, deterministic=not (train or self.eval_dropout))
         # edge features from the post-dropout states (:233-236)
         pair = graph_ops.edge_pair_features(x)
         pred_abs = jnp.concatenate(
@@ -112,6 +125,7 @@ class PoseNetXLight(nn.Module):
     feat_dim: int = 2048
     edge_dim: int = 2048
     droprate: float = 0.5
+    eval_dropout: bool = False  # replicate F.dropout(training=True) quirk
     use_gnn: bool = True
     stage_sizes: tuple = (3, 4, 6, 3)
     dtype: Any = None
@@ -136,8 +150,8 @@ class PoseNetXLight(nn.Module):
                 e = nn.relu(e)
         if self.droprate > 0:
             drop = nn.Dropout(self.droprate)
-            x = drop(x, deterministic=not train)
-            e = drop(e, deterministic=not train)
+            x = drop(x, deterministic=not (train or self.eval_dropout))
+            e = drop(e, deterministic=not (train or self.eval_dropout))
         pred_abs = jnp.concatenate(
             [nn.Dense(3, name="fc_xyz")(x),
              nn.Dense(3, name="fc_wpqr")(x)], axis=-1)
@@ -157,6 +171,7 @@ class PoseNetXOX(nn.Module):
     feat_dim: int = 1024
     edge_dim: int = 1024
     droprate: float = 0.5
+    eval_dropout: bool = False  # replicate F.dropout(training=True) quirk
     use_gnn: bool = True
     stage_sizes: tuple = (3, 4, 6, 3)
     dtype: Any = None
@@ -183,7 +198,8 @@ class PoseNetXOX(nn.Module):
                 dtype=self.dtype, name="gnn2")(x, e, adj)
             e = nn.relu(e)  # :592: no relu on x after gnn2
         if self.droprate > 0:
-            e = nn.Dropout(self.droprate)(e, deterministic=not train)
+            e = nn.Dropout(self.droprate)(
+                e, deterministic=not (train or self.eval_dropout))
         pred_rel = jnp.concatenate(
             [nn.Dense(3, name="fc_xyz_R")(e),
              nn.Dense(3, name="fc_wpqr_R")(e)], axis=-1)
@@ -202,6 +218,7 @@ class PoseNetXR4(nn.Module):
     feat_dim: int = 1024
     edge_dim: int = 1024
     droprate: float = 0.5
+    eval_dropout: bool = False  # replicate F.dropout(training=True) quirk
     use_gnn: bool = True
     use_ap: bool = True
     stage_sizes: tuple = (3, 4, 6, 3)
@@ -222,8 +239,8 @@ class PoseNetXR4(nn.Module):
                                 dtype=self.dtype, name="gnn1")(x, e, adj)
             x, e = nn.relu(x), nn.relu(e)
             # inter-layer dropout (:890-891)
-            x = drop(x, deterministic=not train)
-            e = drop(e, deterministic=not train)
+            x = drop(x, deterministic=not (train or self.eval_dropout))
+            e = drop(e, deterministic=not (train or self.eval_dropout))
             x, e = DenseEdgeGNN(self.feat_dim, self.edge_dim, self.feat_dim,
                                 dtype=self.dtype, name="gnn2")(x, e, adj)
             x, e = nn.relu(x), nn.relu(e)
@@ -231,8 +248,8 @@ class PoseNetXR4(nn.Module):
             e = MLP2(self.edge_dim, self.edge_dim, dtype=self.dtype,
                      name="mlp")(e)
         if self.droprate > 0:
-            x = drop(x, deterministic=not train)
-            e = drop(e, deterministic=not train)
+            x = drop(x, deterministic=not (train or self.eval_dropout))
+            e = drop(e, deterministic=not (train or self.eval_dropout))
         if self.use_ap:
             pred_abs = jnp.concatenate(
                 [nn.Dense(3, name="fc_xyz")(x),

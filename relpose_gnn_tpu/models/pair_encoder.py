@@ -27,6 +27,7 @@ class RelPoseGNNPairEncoder(nn.Module):
     feat_dim: int = 2048
     edge_dim: int = 2048
     droprate: float = 0.5
+    eval_dropout: bool = False  # replicate F.dropout(training=True) quirk
     use_gnn: bool = True
     stage_sizes: tuple = (3, 4, 6, 3)
     dtype: Any = None
@@ -63,7 +64,8 @@ class RelPoseGNNPairEncoder(nn.Module):
                 e = nn.relu(e)
 
         if self.droprate > 0:
-            x = nn.Dropout(self.droprate)(x, deterministic=not train)
+            x = nn.Dropout(self.droprate)(
+                x, deterministic=not (train or self.eval_dropout))
 
         pred_abs = jnp.concatenate(
             [nn.Dense(3, name="fc_xyz")(x),

@@ -174,3 +174,52 @@ class TestLegacyPoseNetXFamily:
         v = m.init(jax.random.PRNGKey(0), img, adj, train=False)
         pa, pr = m.apply(v, img, adj, train=False)
         assert pa.shape == (1, 4, 6) and pr.shape == (1, 4, 4, 6)
+
+
+class TestEvalDropoutQuirkLegacy:
+    """Every reference dropout site is F.dropout(training=True) — active at
+    eval too (same quirk the production model's ledger records); the whole
+    legacy/baseline zoo exposes eval_dropout=True to replicate it."""
+
+    def test_legacy_graph_model_stochastic_eval(self):
+        m = build_model("posenetx-r4", stage_sizes=(1, 1, 1, 1),
+                        feat_dim=32, edge_dim=32, droprate=0.5,
+                        eval_dropout=True)
+        img = jnp.ones((1, 4, 32, 40, 3))
+        adj = jnp.asarray(graph_ops.fc_adjacency(4))[None]
+        v = m.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(0)}, img, adj, train=False)
+        o1 = m.apply(v, img, adj, train=False,
+                     rngs={"dropout": jax.random.PRNGKey(1)})[1]
+        o2 = m.apply(v, img, adj, train=False,
+                     rngs={"dropout": jax.random.PRNGKey(2)})[1]
+        assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+    def test_atloc_stochastic_eval_and_default_deterministic(self):
+        img = jnp.ones((2, 32, 40, 3))
+        mq = build_model("atloc", feat_dim=64, droprate=0.5,
+                         eval_dropout=True)
+        v = mq.init({"params": jax.random.PRNGKey(0),
+                     "dropout": jax.random.PRNGKey(0)}, img, train=False)
+        o1 = mq.apply(v, img, train=False,
+                      rngs={"dropout": jax.random.PRNGKey(1)})
+        o2 = mq.apply(v, img, train=False,
+                      rngs={"dropout": jax.random.PRNGKey(2)})
+        assert not np.allclose(np.asarray(o1), np.asarray(o2))
+        md = build_model("atloc", feat_dim=64, droprate=0.5)
+        vd = md.init(jax.random.PRNGKey(0), img, train=False)
+        d1 = md.apply(vd, img, train=False)
+        d2 = md.apply(vd, img, train=False)
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+    def test_mapnet_threads_flag(self):
+        img = jnp.ones((1, 2, 32, 40, 3))
+        m = build_model("mapnet", feat_dim=64, droprate=0.5,
+                        eval_dropout=True)
+        v = m.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(0)}, img, train=False)
+        o1 = m.apply(v, img, train=False,
+                     rngs={"dropout": jax.random.PRNGKey(1)})
+        o2 = m.apply(v, img, train=False,
+                     rngs={"dropout": jax.random.PRNGKey(2)})
+        assert not np.allclose(np.asarray(o1), np.asarray(o2))
