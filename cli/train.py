@@ -51,6 +51,16 @@ def parse_args(argv):
     p.add_argument("--mesh-data", type=int, default=0,
                    help=">0: shard training over a (data, model) mesh")
     p.add_argument("--mesh-model", type=int, default=1)
+    # multi-host (one process per host, parallel/multihost.py): pass the
+    # same --coordinator to every process; --mesh-data then counts GLOBAL
+    # devices.  On TPU pods the three values come from the pod runtime; the
+    # explicit flags also drive CPU test rigs (gloo collectives).
+    p.add_argument("--coordinator", type=str, default="",
+                   help="host:port of process 0 (enables multi-process)")
+    p.add_argument("--num-processes", type=int, default=1)
+    p.add_argument("--process-id", type=int, default=0)
+    p.add_argument("--local-device-count", type=int, default=0,
+                   help="virtual devices per process (CPU rigs only)")
     args = p.parse_args(argv)
     if args.exp_name is None:  # naming scheme of train.py:384-390
         if args.experiment == 2:
@@ -67,6 +77,10 @@ def parse_args(argv):
 
 def main(argv=None):
     args = parse_args(argv if argv is not None else sys.argv[1:])
+    if args.coordinator:
+        from relpose_gnn_tpu.parallel.multihost import initialize
+        initialize(args.coordinator, args.num_processes, args.process_id,
+                   local_device_count=args.local_device_count or None)
     from relpose_gnn_tpu.training.experiment import (ExperimentConfig,
                                                      run_training)
     cfg = ExperimentConfig(

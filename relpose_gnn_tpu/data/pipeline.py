@@ -127,8 +127,12 @@ def device_prefetch(host_iter: Iterator[dict], mean: np.ndarray,
             if sharding is not None and k in sharding:
                 # host -> per-shard in ONE step; jnp.asarray first would
                 # commit the full batch to device 0 and then redistribute
-                # (an extra full-batch hop per key per step)
-                out[k] = jax.device_put(np.asarray(v), sharding[k])
+                # (an extra full-batch hop per key per step).  put_like is
+                # device_put single-process, and under multi-host
+                # (jax.process_count() > 1) uploads only this process's
+                # rows of the (process-identical, seeded) global batch
+                from relpose_gnn_tpu.parallel.multihost import put_like
+                out[k] = put_like(np.asarray(v), sharding[k])
             else:
                 out[k] = jnp.asarray(v)
         if sharding is None:

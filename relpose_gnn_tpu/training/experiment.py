@@ -179,12 +179,16 @@ def evaluate_scene(eval_step, state, ds: PackedGraphDataset,
                          for k, v in batch.items()}
             yield batch
 
+    # host_read == np.asarray single-process; under multi-host the per-batch
+    # outputs are sharded across processes and are all-gathered so every
+    # host computes the same medians (parallel/multihost.py)
+    from relpose_gnn_tpu.parallel.multihost import host_read
     preds, targs = [], []
     for i, batch in enumerate(device_prefetch(padded(it), ds.mean, ds.std,
                                               sharding=sharding)):
         out = eval_step(state, batch)
-        preds.append(np.asarray(out["pred"])[:valid[i]])
-        targs.append(np.asarray(out["target"])[:valid[i]])
+        preds.append(host_read(out["pred"])[:valid[i]])
+        targs.append(host_read(out["target"])[:valid[i]])
     preds = np.concatenate(preds)
     targs = np.concatenate(targs)
     assert len(preds) == n_total, (len(preds), n_total)
@@ -256,20 +260,26 @@ def run_training(cfg: ExperimentConfig) -> dict:
                 f"effective batch size {batch_size} (cfg {cfg.batch_size}, "
                 f"dataset {len(train_ds)}) must be divisible by "
                 f"mesh_data={cfg.mesh_data}")
+        # put_like == device_put single-process; under multi-host each
+        # process contributes its local block (params are process-identical
+        # from the seeded init, parallel/multihost.py)
+        from relpose_gnn_tpu.parallel.multihost import put_like
         p_shard = param_sharding(mesh, state.params["model"],
                                  tensor_parallel=cfg.mesh_model > 1)
         params = dict(state.params)
-        params["model"] = jax.tree.map(jax.device_put,
+        params["model"] = jax.tree.map(put_like,
                                        state.params["model"], p_shard)
         rep = replicate(mesh)
         state = state.replace(
             params={k: (params[k] if k == "model"
-                        else jax.device_put(params[k], rep))
+                        else jax.tree.map(lambda x: put_like(x, rep),
+                                          params[k]))
                     for k in params},
-            batch_stats=jax.device_put(state.batch_stats, rep),
-            opt_state=jax.tree.map(lambda x: jax.device_put(x, rep),
+            batch_stats=jax.tree.map(lambda x: put_like(x, rep),
+                                     state.batch_stats),
+            opt_state=jax.tree.map(lambda x: put_like(x, rep),
                                    state.opt_state),
-            step=jax.device_put(state.step, rep))
+            step=put_like(state.step, rep))
         batch_shardings = {
             "images": batch_sharding(mesh, 5),
             "poses": batch_sharding(mesh, 3),
@@ -345,7 +355,17 @@ def _training_loop(cfg, tcfg, logger, metrics_out, train_feed, test_ds,
                     float(m["q_loss"]))
 
         if epoch in cfg.ckpt_epochs:
-            ckpt.save_checkpoint(str(logdir / "ckpt"), state, epoch)
+            if jax.process_count() > 1:
+                # coordinated multi-host Orbax saves need a shared
+                # filesystem + an async barrier per save; not wired yet —
+                # the training math itself is multi-host complete
+                # (parallel/multihost.py), so say so rather than hanging
+                # process 0 in a single-host save protocol
+                logger.warning("[epoch %04d] checkpointing under "
+                               "multi-process execution is not wired; "
+                               "skipping save", epoch)
+            else:
+                ckpt.save_checkpoint(str(logdir / "ckpt"), state, epoch)
         if epoch > cfg.eval_after_epoch:
             for s, ds in test_ds.items():
                 # under mesh training, eval shards over `data` too (else
@@ -421,7 +441,9 @@ def run_eval(cfg: ExperimentConfig, weights: str | None = None,
         from relpose_gnn_tpu.parallel.sharding import (batch_sharding,
                                                        replicate)
         mesh = create_mesh(n_data=cfg.mesh_data, n_model=cfg.mesh_model)
-        state = jax.device_put(state, replicate(mesh))
+        from relpose_gnn_tpu.parallel.multihost import put_like
+        rep = replicate(mesh)
+        state = jax.tree.map(lambda x: put_like(x, rep), state)
         eval_shardings = {"images": batch_sharding(mesh, 5),
                           "poses": batch_sharding(mesh, 3),
                           "adj": batch_sharding(mesh, 3)}

@@ -1,0 +1,139 @@
+"""Multi-host (multi-PROCESS) distributed execution, on two CPU processes.
+
+parallel/multihost.py composes per-process local devices into one global
+mesh (the DCN layer the reference lacks entirely, SURVEY.md §2.4).  The
+end-to-end claim tested here: the SAME dp=8 `run_training` produces the
+same per-epoch losses whether the 8 devices live in one process or are
+split 4+4 across two OS processes joined by `jax.distributed` (gloo CPU
+collectives) — i.e. multi-host assembly (`put_like`) + the sharded train
+step + metric reads are process-count-invariant.
+
+Unit tests cover the placement primitive itself on the in-process mesh
+(where put_like must be exactly device_put).
+"""
+
+import json
+import os
+import os.path as osp
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from test_data import write_7scenes_fixture
+
+from relpose_gnn_tpu.data.graph_builder import (GraphBuilderConfig,
+                                                build_graphs)
+from relpose_gnn_tpu.data.seven_scenes import SevenScenes
+from relpose_gnn_tpu.parallel.mesh import create_mesh
+from relpose_gnn_tpu.parallel.multihost import host_read, put_like
+
+
+class TestPutLikeSingleProcess:
+    def test_matches_device_put_sharded_and_replicated(self):
+        mesh = create_mesh(n_data=4, n_model=2)
+        x = np.arange(8 * 6, dtype=np.float32).reshape(8, 6)
+        for spec in (P(), P("data"), P(None, "model")):
+            sh = NamedSharding(mesh, spec)
+            a = put_like(x, sh)
+            b = jax.device_put(x, sh)
+            assert a.sharding == b.sharding
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_host_read_roundtrip(self):
+        mesh = create_mesh(n_data=8, n_model=1)
+        x = np.random.default_rng(0).normal(size=(16, 3)).astype(np.float32)
+        a = put_like(x, NamedSharding(mesh, P("data")))
+        np.testing.assert_array_equal(host_read(a), x)
+
+    def test_scalar_and_zero_dim(self):
+        mesh = create_mesh(n_data=8, n_model=1)
+        s = put_like(np.float32(3.5), NamedSharding(mesh, P()))
+        assert float(s) == 3.5
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _losses(metrics_path: str) -> list:
+    with open(metrics_path) as f:
+        return [json.loads(line)["loss"] for line in f if line.strip()]
+
+
+class TestTwoProcessTraining:
+    @pytest.fixture(scope="class")
+    def fixture_dirs(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("mh")
+        raw, graphs = str(root / "raw"), str(root / "graphs")
+        write_7scenes_fixture(raw, scene="chess", n_seqs=2, n_frames=5,
+                              train=True, size=(40, 32))
+        write_7scenes_fixture(raw, scene="chess", n_seqs=1, n_frames=4,
+                              train=False, size=(40, 32))
+        train_q = SevenScenes("chess", raw, train=True, image_size=32)
+        test_q = SevenScenes("chess", raw, train=False, image_size=32)
+        bcfg = GraphBuilderConfig(seq_len=8, retrieval_mode="RAND", seed=0)
+        build_graphs(train_q, train_q,
+                     osp.join(graphs, "chess_fc8_sp5_train"), bcfg,
+                     height=32, width=40)
+        build_graphs(test_q, train_q,
+                     osp.join(graphs, "chess_fc8_sp5_test"), bcfg,
+                     height=32, width=40)
+        return root, graphs
+
+    @pytest.mark.slow
+    def test_two_process_losses_match_single_process(self, fixture_dirs,
+                                                     tmp_path):
+        """Both legs run as SUBPROCESSES (the pytest parent stays jax-idle:
+        on a 1-core host a third loaded runtime starves the gloo
+        rendezvous — measured, the pair then never finishes)."""
+        root, graphs = fixture_dirs
+        worker = osp.join(osp.dirname(osp.abspath(__file__)),
+                          "multihost_worker.py")
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS",)}
+        env["JAX_PLATFORMS"] = "cpu"
+
+        def run_procs(specs, timeout):
+            procs = [subprocess.Popen(
+                [sys.executable, worker] + [str(a) for a in args],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+                for args in specs]
+            logs = []
+            try:
+                for p in procs:
+                    out, _ = p.communicate(timeout=timeout)
+                    logs.append(out.decode())
+            finally:
+                for p in procs:
+                    if p.poll() is None:
+                        p.kill()
+            for i, p in enumerate(procs):
+                assert p.returncode == 0, \
+                    f"worker {i} failed:\n{logs[i][-3000:]}"
+
+        # single-process reference: same dp=8 mesh, one process
+        ref_dir = str(tmp_path / "ref")
+        run_procs([(0, "none", graphs, ref_dir, 1)], timeout=540)
+        ref_losses = _losses(osp.join(ref_dir, "7Scenes", "chess", "mh",
+                                      "metrics.jsonl"))
+        assert len(ref_losses) == 2
+
+        # the same mesh split 4+4 across two gloo-joined processes
+        coordinator = f"127.0.0.1:{_free_port()}"
+        outs = [str(tmp_path / f"p{i}") for i in range(2)]
+        run_procs([(i, coordinator, graphs, outs[i], 2) for i in range(2)],
+                  timeout=540)
+        for i in range(2):
+            got = _losses(osp.join(outs[i], "7Scenes", "chess", "mh",
+                                   "metrics.jsonl"))
+            assert len(got) == len(ref_losses), (i, got, ref_losses)
+            np.testing.assert_allclose(got, ref_losses, rtol=1e-5,
+                                       err_msg=f"process {i} diverged")
