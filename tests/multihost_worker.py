@@ -49,10 +49,15 @@ def main() -> None:
         test_scene="chess", train_data_dir=graphs + "/",
         test_data_dir=graphs + "/", exp_name="mh", model_name="R3",
         backbone="resnet18", feat_dim=32, batch_size=8, seq_len=8,
-        max_epoch=2, eval_after_epoch=99, dtype="float32", knn=2,
+        max_epoch=2, eval_after_epoch=-1, dtype="float32", knn=2,
         allow_random_init=True, save_dir=out_dir, mesh_data=8,
         mesh_model=1)
-    run_training(cfg)
+    # eval_after_epoch=-1: the in-loop eval runs every epoch, exercising
+    # evaluate_scene -> host_read (process_allgather) under the 2-process
+    # mesh; the parent compares the printed medians across legs
+    out = run_training(cfg)
+    b = out["best"]["chess"]
+    print(f"BEST chess {b['median_t']:.9f} {b['median_q']:.9f}", flush=True)
     print(f"worker {pid} done", flush=True)
 
 

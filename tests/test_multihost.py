@@ -118,10 +118,17 @@ class TestTwoProcessTraining:
             for i, p in enumerate(procs):
                 assert p.returncode == 0, \
                     f"worker {i} failed:\n{logs[i][-3000:]}"
+            best = []
+            for log in logs:  # in-loop eval medians (host_read path)
+                line = [ln for ln in log.splitlines()
+                        if ln.startswith("BEST chess")][-1]
+                best.append([float(v) for v in line.split()[2:]])
+            return best
 
         # single-process reference: same dp=8 mesh, one process
         ref_dir = str(tmp_path / "ref")
-        run_procs([(0, "none", graphs, ref_dir, 1)], timeout=540)
+        ref_best = run_procs([(0, "none", graphs, ref_dir, 1)],
+                             timeout=540)[0]
         ref_losses = _losses(osp.join(ref_dir, "7Scenes", "chess", "mh",
                                       "metrics.jsonl"))
         assert len(ref_losses) == 2
@@ -129,11 +136,17 @@ class TestTwoProcessTraining:
         # the same mesh split 4+4 across two gloo-joined processes
         coordinator = f"127.0.0.1:{_free_port()}"
         outs = [str(tmp_path / f"p{i}") for i in range(2)]
-        run_procs([(i, coordinator, graphs, outs[i], 2) for i in range(2)],
-                  timeout=540)
+        pair_best = run_procs(
+            [(i, coordinator, graphs, outs[i], 2) for i in range(2)],
+            timeout=540)
         for i in range(2):
             got = _losses(osp.join(outs[i], "7Scenes", "chess", "mh",
                                    "metrics.jsonl"))
             assert len(got) == len(ref_losses), (i, got, ref_losses)
             np.testing.assert_allclose(got, ref_losses, rtol=1e-5,
                                        err_msg=f"process {i} diverged")
+            # in-loop eval medians flow through host_read
+            # (process_allgather of the cross-process-sharded eval
+            # outputs) — every process must see the reference medians
+            np.testing.assert_allclose(pair_best[i], ref_best, rtol=1e-5,
+                                       err_msg=f"process {i} eval diverged")
