@@ -73,6 +73,13 @@ class ExperimentConfig:
     #                                    reference has none, SURVEY §5)
     mesh_data: int = 0                 # >0: train over a (data, model) mesh
     mesh_model: int = 1                # tensor-parallel axis size
+    ckpt_dir: str = ""                 # override <logdir>/ckpt; under
+    #                                    multi-PROCESS training this must
+    #                                    point at storage shared by every
+    #                                    host (each process writes its own
+    #                                    array shards; Orbax coordinates
+    #                                    through the jax.distributed
+    #                                    client)
     serving_compact_edges: bool = True  # A/B knob for the cached-serving
     #                                    eval branch (compact edge-list GNN
     #                                    vs the dense grid; exact but keep
@@ -355,17 +362,12 @@ def _training_loop(cfg, tcfg, logger, metrics_out, train_feed, test_ds,
                     float(m["q_loss"]))
 
         if epoch in cfg.ckpt_epochs:
-            if jax.process_count() > 1:
-                # coordinated multi-host Orbax saves need a shared
-                # filesystem + an async barrier per save; not wired yet —
-                # the training math itself is multi-host complete
-                # (parallel/multihost.py), so say so rather than hanging
-                # process 0 in a single-host save protocol
-                logger.warning("[epoch %04d] checkpointing under "
-                               "multi-process execution is not wired; "
-                               "skipping save", epoch)
-            else:
-                ckpt.save_checkpoint(str(logdir / "ckpt"), state, epoch)
+            # multi-process: every process calls save (each writes its own
+            # array shards; Orbax coordinates through the jax.distributed
+            # client) — cfg.ckpt_dir must then point at SHARED storage
+            # (validated on the 2-process rig, tests/test_multihost.py)
+            ckpt.save_checkpoint(cfg.ckpt_dir or str(logdir / "ckpt"),
+                                 state, epoch)
         if epoch > cfg.eval_after_epoch:
             for s, ds in test_ds.items():
                 # under mesh training, eval shards over `data` too (else

@@ -127,17 +127,22 @@ class TestTwoProcessTraining:
 
         # single-process reference: same dp=8 mesh, one process
         ref_dir = str(tmp_path / "ref")
-        ref_best = run_procs([(0, "none", graphs, ref_dir, 1)],
+        ref_ck = str(tmp_path / "ck_ref")
+        ref_best = run_procs([(0, "none", graphs, ref_dir, 1, ref_ck)],
                              timeout=540)[0]
         ref_losses = _losses(osp.join(ref_dir, "7Scenes", "chess", "mh",
                                       "metrics.jsonl"))
         assert len(ref_losses) == 2
 
-        # the same mesh split 4+4 across two gloo-joined processes
+        # the same mesh split 4+4 across two gloo-joined processes; the
+        # checkpoint dir is SHARED between them (each process writes its
+        # own array shards, Orbax coordinates via the distributed client)
         coordinator = f"127.0.0.1:{_free_port()}"
         outs = [str(tmp_path / f"p{i}") for i in range(2)]
+        pair_ck = str(tmp_path / "ck_pair")
         pair_best = run_procs(
-            [(i, coordinator, graphs, outs[i], 2) for i in range(2)],
+            [(i, coordinator, graphs, outs[i], 2, pair_ck)
+             for i in range(2)],
             timeout=540)
         for i in range(2):
             got = _losses(osp.join(outs[i], "7Scenes", "chess", "mh",
@@ -150,3 +155,30 @@ class TestTwoProcessTraining:
             # outputs) — every process must see the reference medians
             np.testing.assert_allclose(pair_best[i], ref_best, rtol=1e-5,
                                        err_msg=f"process {i} eval diverged")
+
+        # the MULTI-PROCESS checkpoint (each process wrote its shards to
+        # the shared dir) must hold the same full state as the
+        # single-process one
+        import orbax.checkpoint as ocp
+        ref_tree = ocp.CheckpointManager(ref_ck).restore(1)
+        # the pair checkpoint's sharding metadata names devices of BOTH
+        # processes; restore to host numpy via a template instead
+        np_template = jax.tree.map(np.asarray, ref_tree)
+        pair_tree = ocp.CheckpointManager(pair_ck).restore(
+            1, args=ocp.args.StandardRestore(np_template))
+        ref_leaves = jax.tree.leaves(ref_tree)
+        pair_leaves = jax.tree.leaves(pair_tree)
+        assert len(ref_leaves) == len(pair_leaves) > 10
+        for a, b in zip(ref_leaves, pair_leaves):
+            # element-wise identity is NOT the claim: gloo's cross-process
+            # all-reduce sums in a different order than the intra-process
+            # one, and that float32-ULP gradient drift is amplified by
+            # Adam's eps-scaled division for individual near-zero-moment
+            # weights (measured: worst single element ~1.6e-4 after two
+            # steps, everything else <1e-5).  The trajectory claim is
+            # carried by the exact loss/median equality above; here assert
+            # the full state (params + both Adam moments + step) is the
+            # same up to that bounded drift
+            a, b = np.asarray(a), np.asarray(b)
+            assert a.shape == b.shape and a.dtype == b.dtype
+            assert np.max(np.abs(a - b)) < 1e-3, np.max(np.abs(a - b))
