@@ -61,6 +61,16 @@ def parse_args(argv):
     p.add_argument("--process-id", type=int, default=0)
     p.add_argument("--local-device-count", type=int, default=0,
                    help="virtual devices per process (CPU rigs only)")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest full TrainState (params + "
+                        "optimizer moments + step) from the checkpoint "
+                        "dir and continue at the next epoch; the "
+                        "continuation is bitwise-identical to an "
+                        "uninterrupted run (the reference can only "
+                        "warm-start weights, train.py:214-219)")
+    p.add_argument("--ckpt-dir", type=str, default="",
+                   help="override <logdir>/ckpt (multi-host runs point "
+                        "this at shared storage)")
     args = p.parse_args(argv)
     if args.exp_name is None:  # naming scheme of train.py:384-390
         if args.experiment == 2:
@@ -97,7 +107,8 @@ def main(argv=None):
         lambda_ap=args.lambda_ap, weights_filename=args.weights_filename,
         pose_stats_file=args.pose_stat_path, dtype=args.dtype,
         backbone=args.backbone, feat_dim=args.feat_dim,
-        mesh_data=args.mesh_data, mesh_model=args.mesh_model)
+        mesh_data=args.mesh_data, mesh_model=args.mesh_model,
+        resume=args.resume, ckpt_dir=args.ckpt_dir)
     out = run_training(cfg)
     for scene, b in out["best"].items():
         print(f"{scene}: best median t {b['median_t']:.3f} m, "

@@ -73,6 +73,9 @@ class ExperimentConfig:
     #                                    reference has none, SURVEY §5)
     mesh_data: int = 0                 # >0: train over a (data, model) mesh
     mesh_model: int = 1                # tensor-parallel axis size
+    resume: bool = False               # restore the latest full TrainState
+    #                                    from the checkpoint dir and
+    #                                    continue at the next epoch
     ckpt_dir: str = ""                 # override <logdir>/ckpt; under
     #                                    multi-PROCESS training this must
     #                                    point at storage shared by every
@@ -249,6 +252,24 @@ def run_training(cfg: ExperimentConfig) -> dict:
         state = ckpt.load_torch_weights(state, cfg.weights_filename)
         logger.info("Loaded weights from %s", cfg.weights_filename)
 
+    # true resume (the reference warm-starts weights only, train.py:214-219
+    # — optimizer moments and epoch are lost there; here the full
+    # TrainState comes back and the continuation is bitwise-identical to
+    # an uninterrupted run, tested).  Runs before mesh placement so the
+    # restored host arrays shard normally below.
+    start_epoch = 0
+    if cfg.resume:
+        ckdir = cfg.ckpt_dir or str(logdir / "ckpt")
+        last = ckpt.latest_epoch(ckdir)
+        if last is not None:
+            state = ckpt.restore_checkpoint(ckdir, state, last)
+            start_epoch = last + 1
+            logger.info("resumed full train state from %s (epoch %d)",
+                        ckdir, last)
+        else:
+            logger.info("resume requested but no checkpoint under %s — "
+                        "starting fresh", ckdir)
+
     # optional multi-chip training: batch sharded over `data`, GNN MLP
     # weights tensor-parallel over `model` (parallel/sharding.py); XLA
     # inserts the gradient all-reduces over ICI
@@ -314,14 +335,15 @@ def run_training(cfg: ExperimentConfig) -> dict:
         return _training_loop(cfg, tcfg, logger, metrics_out, train_feed,
                               test_ds, batch_size, state, train_step,
                               eval_step, batch_shardings, sync_steps,
-                              mean_t, std_t, rng, best, logdir)
+                              mean_t, std_t, rng, best, logdir,
+                              start_epoch=start_epoch)
 
 
 def _training_loop(cfg, tcfg, logger, metrics_out, train_feed, test_ds,
                    batch_size, state, train_step, eval_step,
                    batch_shardings, sync_steps, mean_t, std_t, rng, best,
-                   logdir) -> dict:
-    for epoch in range(cfg.max_epoch):
+                   logdir, start_epoch: int = 0) -> dict:
+    for epoch in range(start_epoch, cfg.max_epoch):
         if cfg.recover_nonfinite:
             epoch_start = jax.tree.map(jnp.copy, (state.params,
                                                   state.opt_state,

@@ -328,3 +328,58 @@ class TestDatabaseImageLoading:
 
         with pytest.raises(ValueError, match="no readable"):
             load_database_images(DeadDB(), 8, 8)
+
+
+class TestResume:
+    def test_resume_continues_bitwise(self, experiment_dirs, tmp_path):
+        """--resume restores the FULL TrainState (params + Adam moments +
+        step + BN stats) and continues exactly where the interrupted run
+        stopped: epochs 1-2 of a resumed run reproduce the uninterrupted
+        3-epoch run bitwise (the reference can only warm-start weights —
+        train.py:214-219 drops optimizer state and epoch)."""
+        import jax
+        root, raw, graphs = experiment_dirs
+
+        cfg_full = tiny_cfg(graphs, save_dir=str(tmp_path / "full"),
+                            max_epoch=3, ckpt_epochs=(0,))
+        out_full = run_training(cfg_full)
+
+        # interrupted after epoch 0 (checkpointed), then resumed to 3
+        cfg_a = tiny_cfg(graphs, save_dir=str(tmp_path / "res"),
+                         max_epoch=1, ckpt_epochs=(0,))
+        run_training(cfg_a)
+        cfg_b = tiny_cfg(graphs, save_dir=str(tmp_path / "res"),
+                         max_epoch=3, ckpt_epochs=(0,), resume=True)
+        out_res = run_training(cfg_b)
+
+        def losses(d):
+            import json
+            path = osp.join(d, "7Scenes", "chess", "t", "metrics.jsonl")
+            with open(path) as f:
+                return {json.loads(ln)["epoch"]: json.loads(ln)["loss"]
+                        for ln in f if ln.strip()}
+
+        lf = losses(str(tmp_path / "full"))
+        lr = losses(str(tmp_path / "res"))
+        assert set(lf) == {0, 1, 2}
+        # the resumed run logged epochs 1-2 with the SAME losses
+        assert lr[1] == lf[1] and lr[2] == lf[2]
+
+        fa = jax.tree.leaves((out_full["state"].params,
+                              out_full["state"].batch_stats,
+                              out_full["state"].opt_state))
+        fb = jax.tree.leaves((out_res["state"].params,
+                              out_res["state"].batch_stats,
+                              out_res["state"].opt_state))
+        assert len(fa) == len(fb)
+        for a, b in zip(fa, fb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(out_full["state"].step) == int(out_res["state"].step)
+
+    def test_resume_without_checkpoint_starts_fresh(self, experiment_dirs,
+                                                    tmp_path):
+        root, raw, graphs = experiment_dirs
+        cfg = tiny_cfg(graphs, save_dir=str(tmp_path / "fresh"),
+                       resume=True)
+        out = run_training(cfg)  # no checkpoint anywhere: fresh start
+        assert int(out["state"].step) > 0
