@@ -42,6 +42,11 @@ def parse_args(argv):
     p.add_argument("--feat-dim", type=int, default=0,
                    help="override feat/edge/node dims (0 = preset default)")
     p.add_argument("--gnn-recursion", type=int, default=2)
+    p.add_argument("--mesh-data", type=int, default=0,
+                   help=">0: shard eval batches over a (data, model) mesh "
+                        "(params replicate; both the plain and the "
+                        "cached-serving branch honor it)")
+    p.add_argument("--mesh-model", type=int, default=1)
     return p.parse_args(argv)
 
 
@@ -61,6 +66,7 @@ def main(argv=None):
         seq_len=args.seq_len, backbone=args.backbone,
         feat_dim=args.feat_dim, gnn_recursion=args.gnn_recursion,
         serving_compact_edges=not args.dense_edges,
+        mesh_data=args.mesh_data, mesh_model=args.mesh_model,
         experiment=2, train_scene=args.test_scene)
     results = run_eval(cfg, serving_data_path=args.serving_data_path)
     for scene, err in results.items():
