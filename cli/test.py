@@ -42,6 +42,13 @@ def parse_args(argv):
     p.add_argument("--feat-dim", type=int, default=0,
                    help="override feat/edge/node dims (0 = preset default)")
     p.add_argument("--gnn-recursion", type=int, default=2)
+    p.add_argument("--fuse", type=str, default="first",
+                   choices=("first", "mean", "median"),
+                   help="absolute-pose recovery: 'first' = reference "
+                        "protocol (one relative pose from the anchor "
+                        "neighbor); 'mean'/'median' fuse ALL incoming "
+                        "edge estimates ('mean' is the closed-form PGO "
+                        "optimum for this RP convention)")
     p.add_argument("--mesh-data", type=int, default=0,
                    help=">0: shard eval batches over a (data, model) mesh "
                         "(params replicate; both the plain and the "
@@ -66,6 +73,7 @@ def main(argv=None):
         seq_len=args.seq_len, backbone=args.backbone,
         feat_dim=args.feat_dim, gnn_recursion=args.gnn_recursion,
         serving_compact_edges=not args.dense_edges,
+        eval_fuse=args.fuse,
         mesh_data=args.mesh_data, mesh_model=args.mesh_model,
         experiment=2, train_scene=args.test_scene)
     results = run_eval(cfg, serving_data_path=args.serving_data_path)

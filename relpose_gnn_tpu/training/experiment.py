@@ -83,6 +83,14 @@ class ExperimentConfig:
     #                                    array shards; Orbax coordinates
     #                                    through the jax.distributed
     #                                    client)
+    eval_fuse: str = "first"           # absolute-pose recovery: 'first'
+    #                                    (reference protocol: one edge from
+    #                                    the anchor neighbor) | 'mean' |
+    #                                    'median' (fuse ALL incoming
+    #                                    estimates; 'mean' is the
+    #                                    closed-form PGO optimum for this
+    #                                    model's vector-difference RP
+    #                                    convention — trainer.py docstring)
     serving_compact_edges: bool = True  # A/B knob for the cached-serving
     #                                    eval branch (compact edge-list GNN
     #                                    vs the dense grid; exact but keep
@@ -451,8 +459,12 @@ def run_eval(cfg: ExperimentConfig, weights: str | None = None,
             "run_eval called with no weights; pass allow_random_init / "
             "--allow-random-init to evaluate random-init weights")
 
-    eval_step = make_eval_step(ref_node=0,
+    eval_step = make_eval_step(ref_node=0, fuse=cfg.eval_fuse,
                                static_anchor=static_anchor_for(cfg))
+    if cfg.eval_fuse != "first" and serving_data_path is not None:
+        # the cached-serving branch recovers with the anchor rule only
+        raise ValueError("eval_fuse != 'first' is not supported on the "
+                         "cached-serving path; drop serving_data_path")
     mean_t, std_t = pose_stats(cfg)
 
     # optional multi-chip eval: params replicated, batch sharded over

@@ -383,3 +383,17 @@ class TestResume:
                        resume=True)
         out = run_training(cfg)  # no checkpoint anywhere: fresh start
         assert int(out["state"].step) > 0
+
+
+class TestEvalFuse:
+    def test_run_eval_fuse_modes(self, experiment_dirs, tmp_path):
+        """eval_fuse threads through run_eval; 'mean' fuses all incoming
+        estimates (trainer-level parity is tested in test_trainer) and the
+        serving branch rejects non-'first' fusion loudly."""
+        root, raw, graphs = experiment_dirs
+        cfg = tiny_cfg(graphs, save_dir=str(tmp_path / "o"),
+                       eval_fuse="mean")
+        res = run_eval(cfg, save_predictions=False)
+        assert np.isfinite(res["chess"].median_t)
+        with pytest.raises(ValueError, match="cached-serving"):
+            run_eval(cfg, serving_data_path=raw, save_predictions=False)
