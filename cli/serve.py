@@ -64,6 +64,10 @@ def parse_args(argv):
                         "host decode + upload overlap device compute")
     p.add_argument("--netvlad-clusters", type=int, default=64,
                    help="NetVLAD clusters (reference: 64)")
+    p.add_argument("--trace-dir", default=None,
+                   help="capture a jax.profiler trace of the serving loop "
+                        "(XLA timeline, viewable in TensorBoard/Perfetto; "
+                        "utils/profiling.py)")
     return p.parse_args(argv)
 
 
@@ -217,10 +221,12 @@ def main(argv=None):
 
     # pipelined: while batch i computes on device, the host decodes and
     # uploads batch i+1..i+depth (evaluation/service.py::query_stream)
+    from relpose_gnn_tpu.utils.profiling import trace
     t0 = time.perf_counter()
-    poses_out = [out["pose"] for out in svc.query_stream(
-        query_batches(), model_norm, depth=args.pipeline_depth,
-        rng=jax.random.PRNGKey(args.seed))]
+    with trace(args.trace_dir):
+        poses_out = [out["pose"] for out in svc.query_stream(
+            query_batches(), model_norm, depth=args.pipeline_depth,
+            rng=jax.random.PRNGKey(args.seed))]
     t_serve = time.perf_counter() - t0
     poses_out = np.concatenate(poses_out)
     served = len(poses_out)
