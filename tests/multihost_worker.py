@@ -32,6 +32,8 @@ def main() -> None:
                                          sys.argv[3], sys.argv[4])
     nproc = int(sys.argv[5]) if len(sys.argv) > 5 else 2
     ckpt_dir = sys.argv[6] if len(sys.argv) > 6 else ""  # SHARED storage
+    mesh_data = int(sys.argv[7]) if len(sys.argv) > 7 else 8
+    mesh_model = int(sys.argv[8]) if len(sys.argv) > 8 else 1
     from relpose_gnn_tpu.parallel.multihost import initialize
     initialize(coordinator, num_processes=nproc, process_id=pid,
                local_device_count=8 // nproc)
@@ -51,8 +53,8 @@ def main() -> None:
         test_data_dir=graphs + "/", exp_name="mh", model_name="R3",
         backbone="resnet18", feat_dim=32, batch_size=8, seq_len=8,
         max_epoch=2, eval_after_epoch=-1, dtype="float32", knn=2,
-        allow_random_init=True, save_dir=out_dir, mesh_data=8,
-        mesh_model=1, ckpt_epochs=(1,), ckpt_dir=ckpt_dir)
+        allow_random_init=True, save_dir=out_dir, mesh_data=mesh_data,
+        mesh_model=mesh_model, ckpt_epochs=(1,), ckpt_dir=ckpt_dir)
     # eval_after_epoch=-1: the in-loop eval runs every epoch, exercising
     # evaluate_scene -> host_read (process_allgather) under the 2-process
     # mesh; the parent compares the printed medians across legs

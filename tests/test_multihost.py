@@ -182,3 +182,50 @@ class TestTwoProcessTraining:
             a, b = np.asarray(a), np.asarray(b)
             assert a.shape == b.shape and a.dtype == b.dtype
             assert np.max(np.abs(a - b)) < 1e-3, np.max(np.abs(a - b))
+
+    @pytest.mark.slow
+    def test_cross_process_tensor_parallel(self, fixture_dirs, tmp_path):
+        """dp=1 x tp=8 split 4+4: the Megatron column/row GNN shards and
+        their all-reduce CROSS the process boundary (DCN in production).
+        put_like places each process's column/row blocks; losses must
+        match the same pure-TP mesh in one process."""
+        root, graphs = fixture_dirs
+        worker = osp.join(osp.dirname(osp.abspath(__file__)),
+                          "multihost_worker.py")
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS",)}
+        env["JAX_PLATFORMS"] = "cpu"
+
+        def run(args_list, timeout=540):
+            procs = [subprocess.Popen(
+                [sys.executable, worker] + [str(a) for a in args],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+                for args in args_list]
+            logs = []
+            try:
+                for p in procs:
+                    out, _ = p.communicate(timeout=timeout)
+                    logs.append(out.decode())
+            finally:
+                for p in procs:
+                    if p.poll() is None:
+                        p.kill()
+            for i, p in enumerate(procs):
+                assert p.returncode == 0, \
+                    f"worker {i} failed:\n{logs[i][-3000:]}"
+
+        ref_dir = str(tmp_path / "tp_ref")
+        run([(0, "none", graphs, ref_dir, 1, str(tmp_path / "tpck_r"),
+              1, 8)])
+        coordinator = f"127.0.0.1:{_free_port()}"
+        outs = [str(tmp_path / f"tp{i}") for i in range(2)]
+        ck = str(tmp_path / "tpck")  # shared: sharded saves need one dir
+        run([(i, coordinator, graphs, outs[i], 2, ck, 1, 8)
+             for i in range(2)])
+        ref = _losses(osp.join(ref_dir, "7Scenes", "chess", "mh",
+                               "metrics.jsonl"))
+        for i in range(2):
+            got = _losses(osp.join(outs[i], "7Scenes", "chess", "mh",
+                                   "metrics.jsonl"))
+            np.testing.assert_allclose(got, ref, rtol=1e-5,
+                                       err_msg=f"process {i} diverged")
