@@ -52,7 +52,7 @@ def main():
     from relpose_gnn_tpu.models.netvlad import NetVLADEncoder
     from relpose_gnn_tpu.models.posenet import RelPoseGNN, RelPoseGNNConfig
     from relpose_gnn_tpu.ops import graph as graph_ops
-    from relpose_gnn_tpu.retrieval.subsample import subsample_neighbors
+    from relpose_gnn_tpu.retrieval.subsample import subsample_neighbors_batch
 
     b, m = args.batch, args.db
     n, h, w = 8, 256, 341
@@ -86,58 +86,62 @@ def main():
         return (x - 0.45) / 0.2
 
     # --- isolated stages (each salts its own input on device) ----------
+    # NOTE: weights/database arrays are passed as ARGUMENTS, not closed
+    # over — jit embeds closed-over arrays as HLO constants, and through
+    # the axon tunnel a VGG16/ResNet34 worth of constants blows the
+    # remote-compile request limit (HTTP 413; this is also the likeliest
+    # culprit for the round-3 wedge this script caused).
     @jax.jit
-    def st_netvlad(q, salt):
-        d = netvlad.apply(nv_vars, svc._netvlad_input(q * (1 + 1e-4 * salt)))
+    def st_netvlad(nv, q, salt):
+        d = netvlad.apply(nv, svc._netvlad_input(q * (1 + 1e-4 * salt)))
         return jnp.sum(d.astype(jnp.float32))
 
-    q_desc0 = jax.jit(lambda q: netvlad.apply(
-        nv_vars, svc._netvlad_input(q)))(q01)
+    q_desc0 = jax.jit(lambda nv, q: netvlad.apply(
+        nv, svc._netvlad_input(q)))(nv_vars, q01)
 
     @jax.jit
-    def st_select(qd, salt):
-        sim = (qd * (1 + 1e-4 * salt)) @ svc.db_desc.T
-        rngs = jax.random.split(jax.random.PRNGKey(0), b)
+    def st_select(db_desc, qd, salt):
+        sim = (qd * (1 + 1e-4 * salt)) @ db_desc.T
         invalid = jnp.zeros((m,), bool)
-        nbrs = jax.vmap(lambda r, s: subsample_neighbors(
-            r, s, invalid, n - 1, 5))(rngs, sim)
+        nbrs = subsample_neighbors_batch(
+            jax.random.PRNGKey(0), sim, invalid, n - 1, 5,
+            candidates=svc.cfg.retrieval_candidates)
         return jnp.sum(nbrs)
 
     @jax.jit
-    def st_encode(q, salt):
-        e = svc.model.apply(svc.model_vars,
-                            model_norm(q * (1 + 1e-4 * salt))[:, None],
+    def st_encode(mv, q, salt):
+        e = svc.model.apply(mv, model_norm(q * (1 + 1e-4 * salt))[:, None],
                             train=False, method=RelPoseGNN.encode_nodes)
         return jnp.sum(e.astype(jnp.float32))
 
-    x0 = jax.jit(lambda q: jnp.concatenate([
-        svc.model.apply(svc.model_vars, model_norm(q)[:, None],
+    x0 = jax.jit(lambda mv, q, db_emb: jnp.concatenate([
+        svc.model.apply(mv, model_norm(q)[:, None],
                         train=False, method=RelPoseGNN.encode_nodes),
-        svc.db_emb[:b * (n - 1)].reshape(b, n - 1, feat).astype(
-            jnp.bfloat16)], axis=1))(q01)
+        db_emb[:b * (n - 1)].reshape(b, n - 1, feat).astype(
+            jnp.bfloat16)], axis=1))(svc.model_vars, q01, svc.db_emb)
     adj0 = jnp.asarray(np.broadcast_to(~np.eye(n, dtype=bool), (b, n, n)))
 
     @jax.jit
-    def st_gnn(x, adj, salt):
+    def st_gnn(mv, x, adj, salt):
         _, pred_rel, _, aux = svc.model.apply(
-            svc.model_vars, x * (1 + 1e-4 * salt), adj, train=False,
+            mv, x * (1 + 1e-4 * salt), adj, train=False,
             method=RelPoseGNN.from_embeddings)
         nbr = graph_ops.nearest_neighbor(aux["node_feats"], node=0)
         return jnp.sum(pred_rel[jnp.arange(b), nbr, 0])
 
     @jax.jit
-    def st_full(q, salt):
-        out = svc._query_fn(model_norm, svc.model_vars, svc.netvlad_vars,
-                            svc.db_desc, svc.db_emb, svc.db_poses,
+    def st_full(mv, nv, db_desc, db_emb, db_poses, q, salt):
+        out = svc._query_fn(model_norm, mv, nv, db_desc, db_emb, db_poses,
                             q * (1 + 1e-4 * salt), jax.random.PRNGKey(0))
         return jnp.sum(out["pose"])
 
     print(f"batch={b} db={m}", flush=True)
-    stages = [("full", st_full, (q01,)),
-              ("netvlad", st_netvlad, (q01,)),
-              ("select", st_select, (q_desc0,)),
-              ("encode", st_encode, (q01,)),
-              ("gnn", st_gnn, (x0, adj0))]
+    stages = [("full", st_full, (svc.model_vars, nv_vars, svc.db_desc,
+                                 svc.db_emb, svc.db_poses, q01)),
+              ("netvlad", st_netvlad, (nv_vars, q01)),
+              ("select", st_select, (svc.db_desc, q_desc0)),
+              ("encode", st_encode, (svc.model_vars, q01)),
+              ("gnn", st_gnn, (svc.model_vars, x0, adj0))]
     want = (None if args.stages == "all"
             else set(args.stages.split(",")))
     times = {}

@@ -34,7 +34,7 @@ from relpose_gnn_tpu.models.posenet import RelPoseGNN
 from relpose_gnn_tpu.ops import graph as graph_ops
 from relpose_gnn_tpu.retrieval.netvlad_index import (IMAGENET_MEAN,
                                                      IMAGENET_STD)
-from relpose_gnn_tpu.retrieval.subsample import subsample_neighbors
+from relpose_gnn_tpu.retrieval.subsample import subsample_neighbors_batch
 
 
 def _to_float01(q: jax.Array) -> jax.Array:
@@ -54,6 +54,12 @@ class ServiceConfig:
     retrieval_hw: tuple = (192, 256)  # NetVLAD input size (E2 geometry)
     deterministic: bool = False      # skip the stochastic 50% drop + offset
     #                                  (pure top-k strided retrieval)
+    retrieval_candidates: int | None = 256
+    # ^ windowed neighbor selection: rank only the top-C candidates per
+    #   query instead of full-M argsort (exact — batch-level fallback to
+    #   the full sort on window shortfall; subsample_neighbors_batch).
+    #   None = always full argsort.  Measured: the full-M sort was 6.1 ms
+    #   of the 48 ms serving step at B=128, M=4096.
 
 
 class RelocalizationService:
@@ -166,14 +172,16 @@ class RelocalizationService:
             invalid = jnp.zeros((m,), bool)
             if cfg.deterministic:
                 # plain strided top-k: every sampling_period-th of the
-                # ranked list
-                order = jnp.argsort(-sim, axis=1)
-                nbrs = order[:, ::cfg.sampling_period][:, :k]  # [B, K]
+                # ranked list.  Only ranks 0..(k-1)*sp are consumed, so
+                # rank exactly that window instead of a full-M argsort
+                # (top_k on the negated key == the stable sort; exact)
+                c = min((k - 1) * cfg.sampling_period + 1, m)
+                _, order_c = jax.lax.top_k(sim, c)
+                nbrs = order_c[:, ::cfg.sampling_period][:, :k]  # [B, K]
             else:
-                rngs = jax.random.split(rng, b)
-                nbrs = jax.vmap(
-                    lambda r, s: subsample_neighbors(
-                        r, s, invalid, k, cfg.sampling_period))(rngs, sim)
+                nbrs = subsample_neighbors_batch(
+                    rng, sim, invalid, k, cfg.sampling_period,
+                    candidates=cfg.retrieval_candidates)
 
             # 3. graph assembly from cached embeddings
             q_emb = self.model.apply(model_vars, query_model_in[:, None],

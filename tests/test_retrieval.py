@@ -98,6 +98,65 @@ class TestSubsample:
             jax.random.PRNGKey(3), sim, invalid, k=8, sampling_period=1))
         assert np.mean(sim[out]) > 0.7
 
+    def test_windowed_batch_matches_full(self):
+        # the top-C windowed fast path must be bit-exact vs the full-M
+        # argsort path (same rng), including duplicated-similarity ties
+        # (top_k's lower-index-first rule vs the stable sort)
+        b, m = 8, 512
+        rng = np.random.default_rng(11)
+        sim = rng.random((b, m)).astype(np.float32)
+        sim[:, ::3] = sim[:, 1::3][:, : sim[:, ::3].shape[1]]  # many ties
+        sim = jnp.asarray(sim)
+        invalid = jnp.zeros((m,), bool)
+        for seed in range(4):
+            rng = jax.random.PRNGKey(seed)
+            full = subsample.subsample_neighbors_batch(
+                rng, sim, invalid, k=7, sampling_period=5,
+                candidates=None)
+            for cand in (128, 256):
+                win = subsample.subsample_neighbors_batch(
+                    rng, sim, invalid, k=7, sampling_period=5,
+                    candidates=cand)
+                np.testing.assert_array_equal(np.asarray(full),
+                                              np.asarray(win))
+
+    def test_windowed_batch_invalid_masks(self):
+        # per-query invalid masks ride through the window path; a mask
+        # heavy enough to starve the window triggers the exact full-M
+        # fallback for the batch
+        b, m = 4, 1024
+        sim = jnp.asarray(
+            np.random.default_rng(3).random((b, m)).astype(np.float32))
+        invalid = np.zeros((b, m), bool)
+        invalid[0, :100] = True          # top-heavy exclusions
+        invalid[1, ::2] = True
+        invalid[2, :1000] = True         # starves a 256-wide window
+        rng = jax.random.PRNGKey(5)
+        full = subsample.subsample_neighbors_batch(
+            rng, sim, jnp.asarray(invalid), k=7, sampling_period=3,
+            candidates=None)
+        win = subsample.subsample_neighbors_batch(
+            rng, sim, jnp.asarray(invalid), k=7, sampling_period=3,
+            candidates=256)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(win))
+        # excluded entries never served
+        for q in range(b):
+            assert not invalid[q][np.asarray(win)[q]].any()
+
+    def test_windowed_batch_under_jit(self):
+        # the batch-level lax.cond must trace inside jit (the service path)
+        b, m = 4, 1024
+        sim = jnp.asarray(
+            np.random.default_rng(9).random((b, m)).astype(np.float32))
+        invalid = jnp.zeros((m,), bool)
+        rng = jax.random.PRNGKey(2)
+        f = jax.jit(lambda r, s: subsample.subsample_neighbors_batch(
+            r, s, invalid, 7, 5, candidates=64))
+        np.testing.assert_array_equal(
+            np.asarray(f(rng, sim)),
+            np.asarray(subsample.subsample_neighbors_batch(
+                rng, sim, invalid, 7, 5, candidates=None)))
+
     def test_cosine_topk(self):
         rng = np.random.default_rng(4)
         db = rng.normal(size=(50, 32)).astype(np.float32)

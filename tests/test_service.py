@@ -10,7 +10,7 @@ from relpose_gnn_tpu.models.netvlad import NetVLADEncoder
 from relpose_gnn_tpu.models.posenet import RelPoseGNN, RelPoseGNNConfig
 
 
-def build_service(seq_len=4, deterministic=False):
+def build_service(seq_len=4, deterministic=False, retrieval_candidates=256):
     mcfg = RelPoseGNNConfig(num_nodes=seq_len, feat_dim=32, edge_dim=32,
                             node_dim=32, knn=2, backbone="resnet18",
                             droprate=0.0)
@@ -22,7 +22,8 @@ def build_service(seq_len=4, deterministic=False):
     netvlad = NetVLADEncoder(num_clusters=4, encoder_dim=512)
     nv_vars = netvlad.init(jax.random.PRNGKey(1), jnp.ones((1, 48, 64, 3)))
     cfg = ServiceConfig(seq_len=seq_len, sampling_period=2,
-                        retrieval_hw=(48, 64), deterministic=deterministic)
+                        retrieval_hw=(48, 64), deterministic=deterministic,
+                        retrieval_candidates=retrieval_candidates)
     return RelocalizationService(model, model_vars, netvlad, nv_vars, cfg)
 
 
@@ -74,6 +75,28 @@ class TestRelocalizationService:
             q, model_norm, jax.random.PRNGKey(s))["neighbors"])[0].tolist())
             for s in range(6)}
         assert len(sets) > 1  # stochastic drop/offset varies the graph
+
+    def test_windowed_retrieval_matches_full_sort(self):
+        # retrieval_candidates < M engages the windowed top-C selection:
+        # served poses/neighbors must be bit-identical to the full-M
+        # argsort service (exactness contract of
+        # subsample_neighbors_batch), in both retrieval modes
+        rng = np.random.default_rng(7)
+        db = rng.random((40, 32, 40, 3)).astype(np.float32)
+        db_poses = rng.normal(size=(40, 6)).astype(np.float32)
+        queries = rng.random((3, 32, 40, 3)).astype(np.float32)
+        for det in (False, True):
+            outs = []
+            for cand in (None, 16):
+                svc = build_service(deterministic=det,
+                                    retrieval_candidates=cand)
+                svc.build(db, db_poses, model_norm, batch=8)
+                outs.append(svc.query(queries, model_norm,
+                                      jax.random.PRNGKey(3)))
+            np.testing.assert_array_equal(np.asarray(outs[0]["neighbors"]),
+                                          np.asarray(outs[1]["neighbors"]))
+            np.testing.assert_array_equal(np.asarray(outs[0]["pose"]),
+                                          np.asarray(outs[1]["pose"]))
 
     def test_query_stream_matches_sequential_queries(self):
         """Pipelined serving is a scheduling change only: query_stream
