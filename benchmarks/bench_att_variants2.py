@@ -18,7 +18,18 @@ Two exact restructurings:
 Run:  python benchmarks/bench_att_variants2.py
 
 (Follow-up to bench_att_exp2.py, whose exp2-prescale variant measured a
-wash — the exp multiply is not the bound, the VMEM sweeps are.)
+wash — the exp multiply is not the bound.)
+
+MEASURED (single v5e, warm cache, E=16384 C=256, block_e=16):
+base 7.06 ms, v1 7.90 ms, v2 10.19 ms — BOTH restructurings LOSE.
+v1 is bit-exact (0/16384 mismatched bit patterns) and v2 matches to
+3.8e-7 (summation order), but Mosaic already schedules the straight
+5-pass kernel better than either hand-restructuring: the analytic max
+trades one fused C^2 max pass for extra [T, C] vector work and a worse
+fusion pattern, and the j-chunked single pass doubles the broadcast
+setup per chunk.  Together with the exp2 wash this closes the
+attention-kernel lever list: the production kernel (ops/att_pallas.py)
+stands as-is.
 """
 
 import os.path as _osp
@@ -60,15 +71,15 @@ def _kernel_v2(phi_ref, theta_ref, g_ref, y_ref):
     m = jnp.maximum(phi * tmax, phi * tmin)         # [T, C]
     chunk = 128
 
-    def body(j, carry):
-        z, y = carry
-        th = jax.lax.dynamic_slice(theta, (0, j * chunk), (t, chunk))
-        gg = jax.lax.dynamic_slice(g, (0, j * chunk), (t, chunk))
+    # static unroll (Mosaic here has no dynamic_slice lowering; c is static)
+    z = jnp.zeros((t, c), jnp.float32)
+    y = jnp.zeros((t, c), jnp.float32)
+    for j in range(c // chunk):
+        th = theta[:, j * chunk:(j + 1) * chunk]
+        gg = g[:, j * chunk:(j + 1) * chunk]
         w = jnp.exp(phi[:, :, None] * th[:, None, :] - m[:, :, None])
-        return z + jnp.sum(w, axis=-1), y + jnp.sum(w * gg[:, None, :], axis=-1)
-
-    z0 = jnp.zeros((t, c), jnp.float32)
-    z, y = jax.lax.fori_loop(0, c // chunk, body, (z0, z0))
+        z = z + jnp.sum(w, axis=-1)
+        y = y + jnp.sum(w * gg[:, None, :], axis=-1)
     y_ref[:] = y / z
 
 
@@ -90,11 +101,21 @@ def _call(kernel, phi, theta, g, block_e):
     )(phi, theta, g)
 
 
-def main():
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--exact", action="store_true",
+                    help="run the tiny exactness check only")
+    ap.add_argument("--kernel", choices=("base", "v1", "v2"))
+    ap.add_argument("--block-e", type=int, default=16)
+    args = ap.parse_args(argv)
+
     enable_compile_cache()
     jax.config.update("jax_default_matmul_precision", "highest")
     from relpose_gnn_tpu.ops.att_pallas import _kernel as kernel_base
 
+    kernels = {"base": kernel_base, "v1": _kernel_v1, "v2": _kernel_v2}
     e_prod, c = 16384, 256
 
     @functools.partial(jax.jit, static_argnames=("kernel", "block_e", "e"))
@@ -104,27 +125,22 @@ def main():
         phi, theta, g = (mk(kk) for kk in ks)
         return jnp.sum(_call(kernel, phi, theta, g, block_e))
 
-    # exactness vs the production kernel (V1 must be BIT-exact)
-    ks = jax.random.split(jax.random.PRNGKey(1), 3)
-    phi, theta, g = (jax.random.normal(kk, (64, c)) * 3 for kk in ks)
-    base = _call(kernel_base, phi, theta, g, 16)
-    for name, kern in (("v1", _kernel_v1), ("v2", _kernel_v2)):
-        got = _call(kern, phi, theta, g, 16)
-        bits = int(jnp.sum(got.view(jnp.int32) != base.view(jnp.int32)))
-        err = float(jnp.max(jnp.abs(got - base)) / jnp.max(jnp.abs(base)))
-        print(f"{name}: mismatched bit-patterns {bits}/{got.size}, "
-              f"max rel err vs base {err:.2e}")
+    if args.exact:
+        # exactness vs the production kernel (V1 must be BIT-exact)
+        ks = jax.random.split(jax.random.PRNGKey(1), 3)
+        phi, theta, g = (jax.random.normal(kk, (64, c)) * 3 for kk in ks)
+        base = _call(kernel_base, phi, theta, g, 16)
+        for name in ("v1", "v2"):
+            got = _call(kernels[name], phi, theta, g, 16)
+            bits = int(jnp.sum(got.view(jnp.int32) != base.view(jnp.int32)))
+            err = float(jnp.max(jnp.abs(got - base)) / jnp.max(jnp.abs(base)))
+            print(f"{name}: mismatched bit-patterns {bits}/{got.size}, "
+                  f"max rel err vs base {err:.2e}", flush=True)
+        return
 
-    for block_e in (8, 16, 32):
-        row = [f"block_e={block_e:3d}"]
-        for name, kern in (("base", kernel_base), ("v1", _kernel_v1),
-                           ("v2", _kernel_v2)):
-            try:
-                t = bench(lambda s, kk=kern, b=block_e: step(kk, e_prod, b, s))
-                row.append(f"{name}: {t:7.2f} ms")
-            except Exception as ex:  # noqa: BLE001 — OOM configs just skip
-                row.append(f"{name}: skip ({type(ex).__name__})")
-        print("   ".join(row))
+    name = args.kernel or "base"
+    t = bench(lambda s: step(kernels[name], e_prod, args.block_e, s))
+    print(f"{name} block_e={args.block_e:3d}: {t:7.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -114,10 +114,13 @@ def main():
                             train=False, method=RelPoseGNN.encode_nodes)
         return jnp.sum(e.astype(jnp.float32))
 
+    # modulo-tile the DB embeddings: b*(n-1) can exceed --db (e.g.
+    # --batch 512 --db 1024), and a plain [:b*(n-1)] reshape would crash
+    nbr_rows = jnp.arange(b * (n - 1)) % m
     x0 = jax.jit(lambda mv, q, db_emb: jnp.concatenate([
         svc.model.apply(mv, model_norm(q)[:, None],
                         train=False, method=RelPoseGNN.encode_nodes),
-        db_emb[:b * (n - 1)].reshape(b, n - 1, feat).astype(
+        db_emb[nbr_rows].reshape(b, n - 1, feat).astype(
             jnp.bfloat16)], axis=1))(svc.model_vars, q01, svc.db_emb)
     adj0 = jnp.asarray(np.broadcast_to(~np.eye(n, dtype=bool), (b, n, n)))
 

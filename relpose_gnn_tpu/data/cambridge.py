@@ -58,8 +58,12 @@ class CambridgeLandmark:
         self._jitter_rng = np.random.default_rng(self.seed)
         self.c_imgs: list[str] = []
         # per-frame source-sequence number from the 'seqN/...' path prefix
-        # (for the cross-connect same-sequence exclusion)
+        # (for the cross-connect same-sequence exclusion).  Prefixes that
+        # are not 'seqN' get a DISTINCT negative id per distinct prefix —
+        # a shared sentinel would make every such frame one pseudo-
+        # sequence and cross-connect would exclude the whole database.
         seq_ids: list[int] = []
+        unparsed_prefix_ids: dict[str, int] = {}
         poses = []
         for row in rows:
             t_c2w = np.asarray([float(v) for v in row[1:4]])
@@ -76,7 +80,11 @@ class CambridgeLandmark:
             poses.append(pose_ops.process_poses_cambridge(T4))
             self.c_imgs.append(osp.join(base, row[0]))
             prefix = row[0].split("/")[0]  # 'seqN'
-            seq_ids.append(int(prefix[3:]) if prefix[3:].isdigit() else -1)
+            if prefix[:3] == "seq" and prefix[3:].isdigit():
+                seq_ids.append(int(prefix[3:]))
+            else:
+                seq_ids.append(unparsed_prefix_ids.setdefault(
+                    prefix, -1 - len(unparsed_prefix_ids)))
 
         self.seq_id = np.asarray(seq_ids, np.int32)
         self.poses = np.asarray(poses, np.float32)

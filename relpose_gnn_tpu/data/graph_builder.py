@@ -24,6 +24,7 @@ edge_attr is only touched by the no-op edge-dropout quirk (train.py:244-247).
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from typing import Callable
 
 import numpy as np
@@ -91,11 +92,19 @@ def build_graphs(query_dataset, database_dataset, out_root: str,
             if len(nbrs) < n - 1:
                 # the FILTERED ranking itself has < n-1 entries (tiny DB
                 # or heavy exclusion): cycle what we have rather than
-                # crash writer.add with a short nbr_idx row; an empty
-                # ranking falls back to RAND over the full DB
-                nbrs = (np.resize(nbrs, n - 1) if len(nbrs) else
-                        rng.choice(n_db, size=n - 1,
-                                   replace=n_db < n - 1))
+                # crash writer.add with a short nbr_idx row.  An EMPTY
+                # ranking means every candidate is excluded (order lists
+                # all valid frames) — there is no legal neighbor, so skip
+                # the query like a corrupt frame instead of silently
+                # writing a graph whose neighbors violate the exclusion
+                # mask (e.g. the query itself, or same-sequence frames
+                # under --cross-connect).
+                if not len(nbrs):
+                    warnings.warn(
+                        f"query {qi}: every database frame is excluded "
+                        "by the retrieval mask; skipping this graph")
+                    continue
+                nbrs = np.resize(nbrs, n - 1)
 
         images = np.zeros((n, height, width, 3), np.float32)
         poses = np.zeros((n, 6), np.float32)

@@ -19,6 +19,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from relpose_gnn_tpu.parallel.multihost import put_like
+
 
 def make_normalizer(mean: np.ndarray, std: np.ndarray):
     """Jitted on-device uint8 -> normalized float32 [B, N, H, W, 3]."""
@@ -131,7 +133,6 @@ def device_prefetch(host_iter: Iterator[dict], mean: np.ndarray,
                 # device_put single-process, and under multi-host
                 # (jax.process_count() > 1) uploads only this process's
                 # rows of the (process-identical, seeded) global batch
-                from relpose_gnn_tpu.parallel.multihost import put_like
                 out[k] = put_like(np.asarray(v), sharding[k])
             else:
                 out[k] = jnp.asarray(v)

@@ -151,12 +151,14 @@ class RelocalizationService:
         cfg = self.cfg
         k = cfg.seq_len - 1
 
-        # `model_norm` is a static (traced-in) argument: the uint8->float
-        # conversion and scene normalization run INSIDE the jitted program
-        # so XLA fuses them into the first convs — no eager per-call
-        # dispatches through the host, and the [B, H, W, 3] query tensor
-        # is never materialized twice in HBM.  Pass the SAME function
-        # object across calls (a fresh lambda per call would retrace).
+        # `model_norm` is a static (traced-in) argument: SCENE
+        # NORMALIZATION runs INSIDE the jitted program so XLA fuses it
+        # into the first convs and the [B, H, W, 3] query tensor is never
+        # materialized twice in HBM.  (The uint8->float conversion stays
+        # EAGER in query() on purpose: under jit XLA rewrites /255 into a
+        # reciprocal multiply and breaks the tested uint8==float bit
+        # identity — see _to_float01.)  Pass the SAME function object
+        # across calls (a fresh lambda per call would retrace).
         @partial(jax.jit, static_argnums=(0,))
         def query_fn(model_norm, model_vars, netvlad_vars, db_desc,
                      db_emb, db_poses, query01, rng):

@@ -64,27 +64,38 @@ def _local_block(sharding, global_shape: tuple) -> tuple:
     """Bounding-box slices of this process's addressable portion.
 
     For a replicated dim the box spans the whole axis; for a sharded dim,
-    exactly this process's rows/cols (device order within a mesh axis is
-    process-contiguous, so addressable shards tile a contiguous box — the
-    assert guards that assumption against exotic device orders).
+    exactly this process's rows/cols.  Device order within a mesh axis is
+    process-contiguous on standard meshes, so the addressable shards tile
+    a contiguous box; the volume check below guards that assumption
+    against exotic device orders (distinct shard regions of a sharding
+    are pairwise disjoint, so they tile the box iff their volumes sum to
+    the box volume — a non-contiguous layout leaves a hole and fails).
     """
     idx_map = sharding.addressable_devices_indices_map(global_shape)
     nd = len(global_shape)
     starts = [None] * nd
     stops = [None] * nd
+    regions = set()   # distinct (start, stop) index regions (replicas dedup)
     for slices in idx_map.values():
+        region = []
         for d, sl in enumerate(slices):
             a = sl.start if sl.start is not None else 0
             b = sl.stop if sl.stop is not None else global_shape[d]
             starts[d] = a if starts[d] is None else min(starts[d], a)
             stops[d] = b if stops[d] is None else max(stops[d], b)
-    box = tuple(slice(a, b) for a, b in zip(starts, stops))
-    for slices in idx_map.values():  # every shard must lie inside the box
-        for d, sl in enumerate(slices):
-            a = sl.start if sl.start is not None else 0
-            b = sl.stop if sl.stop is not None else global_shape[d]
-            assert starts[d] <= a and b <= stops[d], (sharding, global_shape)
-    return box
+            region.append((a, b))
+        regions.add(tuple(region))
+    box_vol = 1
+    for a, b in zip(starts, stops):
+        box_vol *= b - a
+    shard_vol = sum(int(np.prod([b - a for a, b in r])) for r in regions)
+    if shard_vol != box_vol:
+        raise ValueError(
+            "this process's addressable shards do not tile a contiguous "
+            f"block (shard volume {shard_vol} != bounding box {box_vol}); "
+            f"put_like cannot slice a local block for {sharding} over "
+            f"shape {global_shape}")
+    return tuple(slice(a, b) for a, b in zip(starts, stops))
 
 
 def put_like(x, sharding) -> jax.Array:

@@ -191,9 +191,15 @@ def subsample_neighbors_batch(rng: jax.Array, similarity: jax.Array,
 
     if candidates is None or candidates >= m:
         return full_path()
-    # round the window up to whole mask chunks (keeps the prefix property)
-    c = min(m, max(((int(candidates) + _MASK_CHUNK - 1) // _MASK_CHUNK)
-                   * _MASK_CHUNK, k))
+    if candidates < 1:
+        raise ValueError(f"candidates must be >= 1 or None, got {candidates}")
+    # Round the window (after clamping up to k) to whole mask chunks:
+    # _drop_mask draws whole chunks, so a non-multiple window would
+    # consume DIFFERENT bits than the full path and silently break the
+    # bit-identical-across-candidates contract.  c == m is fine even when
+    # m is not a multiple — the draw is then literally the full path's.
+    c = min(m, ((max(int(candidates), k) + _MASK_CHUNK - 1) // _MASK_CHUNK)
+            * _MASK_CHUNK)
 
     # same key/rounding as argsort(1.0 - sim): negation is exact, and
     # top_k's equal-value lower-index-first order == the stable sort

@@ -339,12 +339,36 @@ def run_training(cfg: ExperimentConfig) -> dict:
                 else contextlib.nullcontext())
 
     best = {s: {"median_t": 1e6, "median_q": 1e6} for s in test_ds}
+    if start_epoch > 0:
+        # a resumed run's reported best must cover the pre-interruption
+        # epochs too (the loop persists per-scene eval medians to
+        # metrics.jsonl exactly for this)
+        _fold_best_from_metrics(metrics_out.path, best)
     with mesh_ctx:
         return _training_loop(cfg, tcfg, logger, metrics_out, train_feed,
                               test_ds, batch_size, state, train_step,
                               eval_step, batch_shardings, sync_steps,
                               mean_t, std_t, rng, best, logdir,
                               start_epoch=start_epoch)
+
+
+def _fold_best_from_metrics(path: str, best: dict) -> None:
+    """Fold per-scene eval medians from a prior run's metrics.jsonl into
+    `best` (in place).  Tolerates a missing file and non-eval records."""
+    import json
+    if not osp.isfile(path):
+        return
+    with open(path) as f:
+        for line in f:
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            s = rec.get("scene")
+            if s in best:
+                for key in ("median_t", "median_q"):
+                    if isinstance(rec.get(key), float):
+                        best[s][key] = min(best[s][key], rec[key])
 
 
 def _training_loop(cfg, tcfg, logger, metrics_out, train_feed, test_ds,
@@ -408,6 +432,11 @@ def _training_loop(cfg, tcfg, logger, metrics_out, train_feed, test_ds,
                     sharding=batch_shardings,
                     pad_multiple=cfg.mesh_data if batch_shardings else 1)
                 logger.info("[scene %s epoch %04d] %s", s, epoch, err)
+                # persisted so --resume can reconstruct best-so-far
+                metrics_out.write(int(state.step),
+                                  {"median_t": err.median_t,
+                                   "median_q": err.median_q},
+                                  epoch=epoch, scene=s)
                 best[s]["median_t"] = min(best[s]["median_t"], err.median_t)
                 best[s]["median_q"] = min(best[s]["median_q"], err.median_q)
     return {"state": state, "best": best}

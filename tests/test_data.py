@@ -88,10 +88,12 @@ def write_7scenes_vo_fixture(root, scene="chess", vo_lib="orbslam",
 
 
 def write_cambridge_fixture(root, scene="ShopFacade", n=6, train=True,
-                            size=(64, 48)):
+                            size=(64, 48), subdirs=None):
     rng = np.random.default_rng(1)
     base = osp.join(root, scene)
-    os.makedirs(osp.join(base, "seq1"), exist_ok=True)
+    subdirs = subdirs or ["seq1"] * n
+    for sd in set(subdirs):
+        os.makedirs(osp.join(base, sd), exist_ok=True)
     split = "dataset_train.txt" if train else "dataset_test.txt"
     rows = []
     for i in range(n):
@@ -100,7 +102,7 @@ def write_cambridge_fixture(root, scene="ShopFacade", n=6, train=True,
         if q[0] < 0:
             q = -q
         t = rng.normal(size=3)
-        name = f"seq1/frame{i:05d}.png"
+        name = f"{subdirs[i]}/frame{i:05d}.png"
         img = (rng.random((size[1], size[0], 3)) * 255).astype(np.uint8)
         Image.fromarray(img).save(osp.join(base, name))
         rows.append((name, t, q))
@@ -229,6 +231,24 @@ class TestCambridgeParser:
         img, _, _ = ds[0]
         # Normalize(0.5, 0.25): range roughly [-2, 2]
         assert img.min() >= -2.01 and img.max() <= 2.01
+
+    def test_seq_id_groups_nonseq_prefixes_distinctly(self, tmp_path):
+        """Non-'seqN' path prefixes must get DISTINCT group ids per
+        distinct prefix — a shared -1 sentinel would make cross-connect
+        exclude the whole database for such datasets (review finding).
+        Only 'seq*' rows survive the split parse (reference parity,
+        cambridge_landmark.py:54), so the reachable cases are 'seq'
+        prefixes with non-numeric suffixes."""
+        subdirs = ["seq1", "seq1", "seq2", "seqA", "seqA", "seqB"]
+        _, stats = write_cambridge_fixture(str(tmp_path), subdirs=subdirs)
+        ds = CambridgeLandmark("ShopFacade", str(tmp_path), train=True,
+                               image_size=32, pose_stats_file=stats)
+        sid = ds.seq_id
+        assert sid[0] == sid[1] == 1 and sid[2] == 2    # seqN parses
+        assert sid[3] == sid[4] and sid[3] < 0          # same prefix groups
+        assert sid[5] < 0 and sid[5] != sid[3]          # distinct prefixes
+        # seqN numeric ids and pseudo-ids never collide
+        assert set(sid[sid >= 0]).isdisjoint(set(sid[sid < 0]))
 
 
 class TestPackedDataset:
@@ -406,6 +426,26 @@ class TestGraphBuilder:
         assert ds.nbr_idx.shape == (3, 7)
         # every neighbor is a real DB index (no zero-padding artifacts)
         assert (ds.nbr_idx >= 0).all() and (ds.nbr_idx < 3).all()
+
+    def test_ir_mode_all_excluded_skips_query(self, tmp_path):
+        """When the retrieval mask excludes EVERY candidate there is no
+        legal neighbor: the builder must skip the query with a warning,
+        not silently draw neighbors (incl. the query itself) from the
+        full DB (review finding)."""
+        import warnings as _warnings
+
+        ds = _ToyDataset(6)
+        cfg = GraphBuilderConfig(seq_len=4, retrieval_mode="IR", seed=0)
+        all_invalid = np.ones(6, bool)
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            written = build_graphs(
+                ds, ds, str(tmp_path / "g"), cfg,
+                similarity_fn=lambda qi: np.ones(6),
+                invalid_fn=lambda qi: all_invalid,
+                height=8, width=10)
+        assert written == 0
+        assert any("excluded" in str(w.message) for w in caught)
 
 
 class TestPipeline:

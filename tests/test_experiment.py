@@ -356,8 +356,8 @@ class TestResume:
             import json
             path = osp.join(d, "7Scenes", "chess", "t", "metrics.jsonl")
             with open(path) as f:
-                return {json.loads(ln)["epoch"]: json.loads(ln)["loss"]
-                        for ln in f if ln.strip()}
+                recs = [json.loads(ln) for ln in f if ln.strip()]
+            return {r["epoch"]: r["loss"] for r in recs if "loss" in r}
 
         lf = losses(str(tmp_path / "full"))
         lr = losses(str(tmp_path / "res"))
@@ -375,6 +375,50 @@ class TestResume:
         for a, b in zip(fa, fb):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert int(out_full["state"].step) == int(out_res["state"].step)
+
+    def test_resume_best_covers_pre_interruption_epochs(
+            self, experiment_dirs, tmp_path):
+        """A resumed run's reported best must fold in the eval medians
+        from BEFORE the interruption (persisted in metrics.jsonl) — a
+        fresh best dict would report only post-resume epochs (review
+        finding)."""
+        root, raw, graphs = experiment_dirs
+
+        common = dict(max_epoch=3, ckpt_epochs=(1,), eval_after_epoch=0)
+        out_full = run_training(tiny_cfg(
+            graphs, save_dir=str(tmp_path / "full"), **common))
+
+        run_training(tiny_cfg(graphs, save_dir=str(tmp_path / "res"),
+                              max_epoch=2, ckpt_epochs=(1,),
+                              eval_after_epoch=0))
+        out_res = run_training(tiny_cfg(
+            graphs, save_dir=str(tmp_path / "res"), resume=True, **common))
+
+        assert out_res["best"] == out_full["best"]
+        assert out_full["best"]["chess"]["median_t"] < 1e6  # evals ran
+
+    def test_fold_best_from_metrics_unit(self, tmp_path):
+        from relpose_gnn_tpu.training.experiment import \
+            _fold_best_from_metrics
+        import json as _json
+        path = str(tmp_path / "metrics.jsonl")
+        recs = [
+            {"step": 1, "loss": 0.5, "epoch": 0},              # non-eval
+            {"step": 2, "epoch": 1, "scene": "chess",
+             "median_t": 0.3, "median_q": 5.0},
+            {"step": 3, "epoch": 2, "scene": "chess",
+             "median_t": 0.4, "median_q": 2.0},
+            {"step": 3, "epoch": 2, "scene": "other",
+             "median_t": 0.1, "median_q": 1.0},                # unknown scene
+        ]
+        with open(path, "w") as f:
+            f.writelines(_json.dumps(r) + "\n" for r in recs)
+        best = {"chess": {"median_t": 1e6, "median_q": 1e6}}
+        _fold_best_from_metrics(path, best)
+        assert best == {"chess": {"median_t": 0.3, "median_q": 2.0}}
+        # missing file is a no-op
+        _fold_best_from_metrics(str(tmp_path / "nope.jsonl"), best)
+        assert best == {"chess": {"median_t": 0.3, "median_q": 2.0}}
 
     def test_resume_without_checkpoint_starts_fresh(self, experiment_dirs,
                                                     tmp_path):

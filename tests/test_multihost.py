@@ -57,6 +57,46 @@ class TestPutLikeSingleProcess:
         assert float(s) == 3.5
 
 
+class _FakeSharding:
+    """Stub exposing only addressable_devices_indices_map, for driving
+    _local_block's contiguity check with hand-built shard layouts."""
+
+    def __init__(self, idx_map):
+        self._idx_map = idx_map
+
+    def addressable_devices_indices_map(self, global_shape):
+        return self._idx_map
+
+
+class TestLocalBlockContiguity:
+    """_local_block must accept contiguous (incl. replicated) layouts and
+    REJECT non-contiguous addressable shards — the vacuous min/max assert
+    it replaced could never fire (review finding)."""
+
+    def test_contiguous_block(self):
+        from relpose_gnn_tpu.parallel.multihost import _local_block
+        idx_map = {0: (slice(0, 2), slice(None)),
+                   1: (slice(2, 4), slice(None))}
+        assert _local_block(_FakeSharding(idx_map), (8, 6)) == \
+            (slice(0, 4), slice(0, 6))
+
+    def test_replicated_shards_dedup(self):
+        from relpose_gnn_tpu.parallel.multihost import _local_block
+        # two local devices replicate the same region: volumes dedup
+        idx_map = {0: (slice(4, 6), slice(0, 6)),
+                   1: (slice(4, 6), slice(0, 6))}
+        assert _local_block(_FakeSharding(idx_map), (8, 6)) == \
+            (slice(4, 6), slice(0, 6))
+
+    def test_noncontiguous_rejected(self):
+        from relpose_gnn_tpu.parallel.multihost import _local_block
+        # rows 0-2 and 4-6: the bounding box (0-6) has a hole at 2-4
+        idx_map = {0: (slice(0, 2), slice(None)),
+                   1: (slice(4, 6), slice(None))}
+        with pytest.raises(ValueError, match="contiguous"):
+            _local_block(_FakeSharding(idx_map), (8, 6))
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -65,7 +105,9 @@ def _free_port() -> int:
 
 def _losses(metrics_path: str) -> list:
     with open(metrics_path) as f:
-        return [json.loads(line)["loss"] for line in f if line.strip()]
+        recs = [json.loads(line) for line in f if line.strip()]
+    # skip the per-scene eval-median records (no "loss" key)
+    return [r["loss"] for r in recs if "loss" in r]
 
 
 class TestTwoProcessTraining:

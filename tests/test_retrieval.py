@@ -1,6 +1,7 @@
 """Retrieval tests: NetVLAD pooling math, subsampling semantics, VLAD."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -113,12 +114,24 @@ class TestSubsample:
             full = subsample.subsample_neighbors_batch(
                 rng, sim, invalid, k=7, sampling_period=5,
                 candidates=None)
-            for cand in (128, 256):
+            # 1 and 30 exercise the clamp-to-k + round-up-to-chunk path
+            # (a window that is not a whole mask-chunk multiple would
+            # consume different drop-mask bits than the full path)
+            for cand in (1, 30, 128, 256):
                 win = subsample.subsample_neighbors_batch(
                     rng, sim, invalid, k=7, sampling_period=5,
                     candidates=cand)
                 np.testing.assert_array_equal(np.asarray(full),
                                               np.asarray(win))
+
+    def test_windowed_batch_rejects_nonpositive_candidates(self):
+        sim = jnp.zeros((2, 64), jnp.float32)
+        invalid = jnp.zeros((64,), bool)
+        for bad in (0, -4):
+            with pytest.raises(ValueError, match="candidates"):
+                subsample.subsample_neighbors_batch(
+                    jax.random.PRNGKey(0), sim, invalid, k=3,
+                    sampling_period=2, candidates=bad)
 
     def test_windowed_batch_invalid_masks(self):
         # per-query invalid masks ride through the window path; a mask
