@@ -135,7 +135,13 @@ def main(argv=None):
                   "batch_stats": state.batch_stats}
 
     # --- NetVLAD -----------------------------------------------------------
-    netvlad = NetVLADEncoder(num_clusters=args.netvlad_clusters)
+    # the retrieval trunk follows --dtype like the pose model: it is ~60%
+    # of the query step (benchmarks/bench_service_bisect.py), and an f32
+    # VGG16 would halve the stage's MXU rate while the benches measure
+    # bf16 (params stay f32 either way; dtype is the compute dtype)
+    netvlad = NetVLADEncoder(
+        num_clusters=args.netvlad_clusters,
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None)
     rhw = tuple(args.retrieval_hw)
     if args.netvlad_checkpoint:
         from relpose_gnn_tpu.models.convert import (convert_netvlad,
