@@ -4,6 +4,11 @@ graph assembly + GNN + pose recovery per query) on the attached TPU.
 Unlike bench.py (which mirrors the reference's eval protocol over prebuilt
 graphs), this measures the full serving pipeline including NetVLAD
 retrieval per query — a capability the reference only runs offline.
+
+Batch sweep, device-resident leg (single v5e, warm cache, same session):
+128 -> 3018 q/s, 256 -> 3018, 512 -> 2895.  The knee is flat over
+128-256 and droops at 512 (the VGG16 retrieval trunk's early layers go
+HBM-bound on the wider activations); 128 stays the default.
 """
 
 import os.path as _osp
@@ -38,6 +43,15 @@ def main():
     ap.add_argument("--skip-device-leg", action="store_true",
                     help="only run the host-uint8 sync-vs-pipelined legs")
     ap.add_argument("--host-iters", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=128,
+                    help="query batch; measured sweep lives in the "
+                         "module docstring")
+    ap.add_argument("--db", type=int, default=128,
+                    help="database frames (kept small by default: the "
+                         "tunnel uploads pixels at ~15-25 MB/s)")
+    ap.add_argument("--skip-host-legs", action="store_true",
+                    help="device-resident leg only (skips the uint8 "
+                         "program compile + slow tunnel uploads)")
     args = ap.parse_args()
 
     z = jnp.zeros(())
@@ -65,14 +79,14 @@ def main():
     svc = RelocalizationService(model, model_vars, netvlad, nv_vars,
                                 ServiceConfig())
 
-    m = 128  # database frames (kept small: tunnel uploads are slow)
+    m = args.db  # database frames (tunnel uploads are slow)
     rng = np.random.default_rng(0)
     print("building database...", flush=True)
     svc.build(rng.random((m, h, w, 3)).astype(np.float32),
               rng.normal(size=(m, 6)).astype(np.float32), model_norm,
               batch=32)
 
-    batch = 128
+    batch = args.batch
     key = jax.random.PRNGKey(7)
     base = jax.random.uniform(key, (batch, h, w, 3), jnp.float32)
     pool = [base * (0.9 + 0.05 * i) for i in range(3)]
@@ -95,6 +109,9 @@ def main():
         qps = batch * iters / dt
         print(f"service (retrieval+graph+GNN+pose): {qps:.0f} queries/s "
               f"({dt / iters * 1e3 / batch:.3f} ms/query)", flush=True)
+
+    if args.skip_host_legs:
+        return
 
     # --- a real server's two protocols over HOST-resident uint8 queries:
     # per-batch sync (query + blocking read each batch) vs pipelined
