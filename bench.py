@@ -305,6 +305,21 @@ def main():
     peak = chip_peak_flops()
     mfu = (step_flops * args.iters / dt) / peak if peak else None
 
+    # peak HBM of the serving executable (weights + inputs + transient
+    # buffers + outputs), from the SAME compiled program — deployment
+    # sizing information the throughput number alone does not carry
+    peak_hbm_gib = None
+    try:
+        ma = compiled.memory_analysis()
+        total = sum(
+            float(getattr(ma, f, 0.0) or 0.0)
+            for f in ("argument_size_in_bytes", "temp_size_in_bytes",
+                      "output_size_in_bytes"))
+        if total > 0:
+            peak_hbm_gib = round(total / 2**30, 3)
+    except Exception:
+        pass
+
     # headline `vs_baseline` is the DEFENSIBLE number: batched throughput
     # over the bs=1 program's pure device rate (RTT-free on both legs —
     # a lower bound on the protocol gap on directly-attached hardware).
@@ -319,6 +334,7 @@ def main():
         "vs_baseline_tunnel_rtt": round(qps / qps_ref_protocol, 2),
         "mfu": round(mfu, 4) if mfu is not None else None,
         "step_gflops": round(step_flops / 1e9, 2),
+        "peak_hbm_gib": peak_hbm_gib,
         "device": jax.devices()[0].device_kind,
     }))
 
