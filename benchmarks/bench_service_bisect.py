@@ -132,10 +132,13 @@ def main():
         nbr = graph_ops.nearest_neighbor(aux["node_feats"], node=0)
         return jnp.sum(pred_rel[jnp.arange(b), nbr, 0])
 
+    db_valid = jnp.ones((m,), bool)
+
     @jax.jit
     def st_full(mv, nv, db_desc, db_emb, db_poses, q, salt):
         out = svc._query_fn(model_norm, mv, nv, db_desc, db_emb, db_poses,
-                            q * (1 + 1e-4 * salt), jax.random.PRNGKey(0))
+                            db_valid, q * (1 + 1e-4 * salt),
+                            jax.random.PRNGKey(0))
         return jnp.sum(out["pose"])
 
     print(f"batch={b} db={m}", flush=True)

@@ -18,6 +18,16 @@ batch end to end:
 
 State held on device: NetVLAD descriptors [M, 32768], backbone node
 embeddings [M, D], pose6 [M, 6] for every database frame (built once).
+
+Incremental growth (`ServiceConfig.capacity` + `add_frames`): XLA
+programs are shape-specialized, so a database that grows row by row
+would recompile the query program per size.  Instead the device arrays
+are pre-allocated at `capacity` with a validity mask; `add_frames`
+embeds new frames into the free slots with donated in-place updates and
+flips their mask bits — the query program never recompiles, and padded
+slots are excluded from retrieval on both selection branches (masked
+-inf in deterministic mode; the invalid mask of
+`subsample_neighbors_batch` in stochastic mode).
 """
 
 from __future__ import annotations
@@ -47,6 +57,21 @@ def _to_float01(q: jax.Array) -> jax.Array:
     return q.astype(jnp.float32) / 255.0
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _update_rows(buf: jax.Array, rows: jax.Array,
+                 start: jax.Array) -> jax.Array:
+    """In-place (donated) row-block write at a traced offset — one
+    compiled program serves every add_frames position."""
+    return jax.lax.dynamic_update_slice(buf, rows, (start, jnp.int32(0)))
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _update_valid(valid: jax.Array, start: jax.Array,
+                  count: jax.Array) -> jax.Array:
+    idx = jnp.arange(valid.shape[0])
+    return valid | ((idx >= start) & (idx < start + count))
+
+
 @dataclasses.dataclass
 class ServiceConfig:
     seq_len: int = 8                 # graph size (query + seq_len-1 nbrs)
@@ -60,6 +85,14 @@ class ServiceConfig:
     #   the full sort on window shortfall; subsample_neighbors_batch).
     #   None = always full argsort.  Measured: the full-M sort was 6.1 ms
     #   of the 48 ms serving step at B=128, M=4096.
+    capacity: int | None = None
+    # ^ pre-allocated database size for INCREMENTAL growth (add_frames):
+    #   the device arrays are padded to `capacity` rows with a validity
+    #   mask, so adding frames later updates rows in place and NEVER
+    #   recompiles the query program (XLA programs are shape-specialized;
+    #   a growing M would recompile per size).  Padded rows are excluded
+    #   from retrieval by the mask on both selection branches.
+    #   None = arrays sized exactly to build()'s database (no growth).
 
 
 class RelocalizationService:
@@ -98,6 +131,8 @@ class RelocalizationService:
         self.db_desc = None   # [M, 32768]
         self.db_emb = None    # [M, D]
         self.db_poses = None  # [M, 6]
+        self.db_valid = None  # [M] bool (False = padded/empty slot)
+        self.db_count = 0     # valid rows (== M when capacity is None)
         self._query_fn = self._make_query_fn()
 
     # -- database construction (once) ---------------------------------
@@ -133,6 +168,7 @@ class RelocalizationService:
                                    method=RelPoseGNN.encode_nodes)[:, 0]
             return desc, emb
 
+        self._embed = embed  # reused by add_frames (same jit cache)
         descs, embs = [], []
         for i in range(0, len(db_images01), batch):
             chunk = jnp.asarray(db_images01[i:i + batch])
@@ -141,9 +177,63 @@ class RelocalizationService:
             d, e = embed(chunk)
             descs.append(d)
             embs.append(e)
-        self.db_desc = jnp.concatenate(descs)
-        self.db_emb = jnp.concatenate(embs)
-        self.db_poses = jnp.asarray(db_poses, jnp.float32)
+        desc = jnp.concatenate(descs)
+        emb = jnp.concatenate(embs)
+        poses = jnp.asarray(db_poses, jnp.float32)
+        m = desc.shape[0]
+        self.db_count = m
+        if self.cfg.capacity is not None:
+            cap = int(self.cfg.capacity)
+            if m > cap:
+                raise ValueError(f"database has {m} frames > capacity {cap}")
+            pad = cap - m
+            desc = jnp.pad(desc, ((0, pad), (0, 0)))
+            emb = jnp.pad(emb, ((0, pad), (0, 0)))
+            poses = jnp.pad(poses, ((0, pad), (0, 0)))
+            self.db_valid = jnp.arange(cap) < m
+        else:
+            self.db_valid = jnp.ones((m,), bool)
+        self.db_desc = desc
+        self.db_emb = emb
+        self.db_poses = poses
+
+    def add_frames(self, images01: np.ndarray, poses: np.ndarray,
+                   model_norm, batch: int = 16) -> None:
+        """Grow the database in place: embed `images01` and write them
+        into the next free capacity slots.  Requires
+        `ServiceConfig.capacity`; the query program is NOT recompiled
+        (all array shapes are static — only the validity mask and the
+        slot contents change).  `model_norm` must be the same scene
+        normalization build() used."""
+        if self.cfg.capacity is None:
+            raise ValueError(
+                "add_frames requires ServiceConfig.capacity (build() sized "
+                "the device arrays exactly; growth would change the query "
+                "program's shapes and force a recompile)")
+        assert self.db_desc is not None, "call build() first"
+        n_new = len(images01)
+        cap = int(self.cfg.capacity)
+        if self.db_count + n_new > cap:
+            raise ValueError(
+                f"capacity exceeded: {self.db_count} + {n_new} > {cap}")
+        for i in range(0, n_new, batch):
+            chunk = jnp.asarray(images01[i:i + batch])
+            if chunk.dtype == jnp.uint8:
+                chunk = _to_float01(chunk)
+            d, e = self._embed(chunk)
+            start = jnp.int32(self.db_count + i)
+            # donated in-place row updates (a fresh copy of the 32768-wide
+            # descriptor table per add would double its HBM footprint)
+            self.db_desc = _update_rows(self.db_desc,
+                                        d.astype(self.db_desc.dtype), start)
+            self.db_emb = _update_rows(self.db_emb,
+                                       e.astype(self.db_emb.dtype), start)
+            self.db_poses = _update_rows(
+                self.db_poses,
+                jnp.asarray(poses[i:i + batch], jnp.float32), start)
+            self.db_valid = _update_valid(
+                self.db_valid, start, jnp.int32(chunk.shape[0]))
+        self.db_count += n_new
 
     # -- the jitted query path -----------------------------------------
 
@@ -161,7 +251,7 @@ class RelocalizationService:
         # across calls (a fresh lambda per call would retrace).
         @partial(jax.jit, static_argnums=(0,))
         def query_fn(model_norm, model_vars, netvlad_vars, db_desc,
-                     db_emb, db_poses, query01, rng):
+                     db_emb, db_poses, db_valid, query01, rng):
             query_model_in = model_norm(query01)
             b = query01.shape[0]
             # 1. retrieval descriptor + similarities (one matmul)
@@ -169,20 +259,22 @@ class RelocalizationService:
                                         self._netvlad_input(query01))
             sim = q_desc @ db_desc.T                      # [B, M]
 
-            # 2. neighbor selection
-            m = db_desc.shape[0]
-            invalid = jnp.zeros((m,), bool)
+            # 2. neighbor selection (db_valid masks capacity padding —
+            # all-True without `capacity`, in which case both branches
+            # are bit-identical to the unmasked forms)
             if cfg.deterministic:
                 # plain strided top-k: every sampling_period-th of the
                 # ranked list.  Only ranks 0..(k-1)*sp are consumed, so
                 # rank exactly that window instead of a full-M argsort
                 # (top_k on the negated key == the stable sort; exact)
+                m = db_desc.shape[0]
+                sim_m = jnp.where(db_valid[None, :], sim, -jnp.inf)
                 c = min((k - 1) * cfg.sampling_period + 1, m)
-                _, order_c = jax.lax.top_k(sim, c)
+                _, order_c = jax.lax.top_k(sim_m, c)
                 nbrs = order_c[:, ::cfg.sampling_period][:, :k]  # [B, K]
             else:
                 nbrs = subsample_neighbors_batch(
-                    rng, sim, invalid, k, cfg.sampling_period,
+                    rng, sim, ~db_valid, k, cfg.sampling_period,
                     candidates=cfg.retrieval_candidates)
 
             # 3. graph assembly from cached embeddings
@@ -231,7 +323,7 @@ class RelocalizationService:
             q = _to_float01(q)
         return self._query_fn(model_norm, self.model_vars,
                               self.netvlad_vars, self.db_desc, self.db_emb,
-                              self.db_poses, q, rng)
+                              self.db_poses, self.db_valid, q, rng)
 
     def query_stream(self, batches, model_norm, depth: int = 2,
                      rng: jax.Array | None = None):

@@ -10,7 +10,8 @@ from relpose_gnn_tpu.models.netvlad import NetVLADEncoder
 from relpose_gnn_tpu.models.posenet import RelPoseGNN, RelPoseGNNConfig
 
 
-def build_service(seq_len=4, deterministic=False, retrieval_candidates=256):
+def build_service(seq_len=4, deterministic=False, retrieval_candidates=256,
+                  capacity=None):
     mcfg = RelPoseGNNConfig(num_nodes=seq_len, feat_dim=32, edge_dim=32,
                             node_dim=32, knn=2, backbone="resnet18",
                             droprate=0.0)
@@ -23,7 +24,8 @@ def build_service(seq_len=4, deterministic=False, retrieval_candidates=256):
     nv_vars = netvlad.init(jax.random.PRNGKey(1), jnp.ones((1, 48, 64, 3)))
     cfg = ServiceConfig(seq_len=seq_len, sampling_period=2,
                         retrieval_hw=(48, 64), deterministic=deterministic,
-                        retrieval_candidates=retrieval_candidates)
+                        retrieval_candidates=retrieval_candidates,
+                        capacity=capacity)
     return RelocalizationService(model, model_vars, netvlad, nv_vars, cfg)
 
 
@@ -214,3 +216,93 @@ class TestResizeDrift:
         # min descriptor cosine ~0.999; threshold leaves slack for BLAS
         # variation across hosts
         assert overlap >= 0.9, overlap
+
+
+class TestCapacityGrowth:
+    """Incremental database growth: ServiceConfig.capacity pre-allocates
+    padded device arrays + a validity mask so add_frames() updates rows
+    in place and the query program never recompiles (static shapes)."""
+
+    def _db(self, n, seed=0):
+        rng = np.random.default_rng(seed)
+        return (rng.random((n, 32, 40, 3)).astype(np.float32),
+                rng.normal(size=(n, 6)).astype(np.float32))
+
+    def test_padding_is_invisible_deterministic(self):
+        """With capacity, padded slots must never be retrieved: the
+        deterministic query over a 10-frame DB padded to 16 equals the
+        exact-size service bit for bit (the -inf mask ranks pads last
+        and the valid ordering is unchanged)."""
+        db, poses = self._db(10)
+        q = db[3:6] * 0.97
+
+        exact = build_service(deterministic=True)
+        exact.build(db, poses, model_norm, batch=4)
+        out_e = exact.query(q, model_norm)
+
+        padded = build_service(deterministic=True, capacity=16)
+        padded.build(db, poses, model_norm, batch=4)
+        assert padded.db_desc.shape[0] == 16 and padded.db_count == 10
+        out_p = padded.query(q, model_norm)
+
+        np.testing.assert_array_equal(np.asarray(out_e["neighbors"]),
+                                      np.asarray(out_p["neighbors"]))
+        np.testing.assert_array_equal(np.asarray(out_e["pose"]),
+                                      np.asarray(out_p["pose"]))
+
+    def test_padding_stochastic_neighbors_stay_valid(self):
+        db, poses = self._db(6, seed=3)
+        svc = build_service(capacity=32, retrieval_candidates=None)
+        svc.build(db, poses, model_norm, batch=4)
+        q = np.random.default_rng(4).random((5, 32, 40, 3)).astype(
+            np.float32)
+        for seed in range(3):
+            nbrs = np.asarray(svc.query(q, model_norm,
+                                        jax.random.PRNGKey(seed))
+                              ["neighbors"])
+            assert (nbrs >= 0).all() and (nbrs < 6).all(), nbrs
+
+    def test_add_frames_matches_fresh_build(self):
+        """build(8) + add_frames(4) must behave like a fresh build(12):
+        same chunking (batch=4) -> same embeddings -> identical
+        deterministic retrieval, and the new frames ARE retrievable."""
+        db, poses = self._db(12, seed=7)
+
+        grown = build_service(deterministic=True, capacity=16)
+        grown.build(db[:8], poses[:8], model_norm, batch=4)
+        grown.add_frames(db[8:], poses[8:], model_norm, batch=4)
+        assert grown.db_count == 12
+
+        fresh = build_service(deterministic=True)
+        fresh.build(db, poses, model_norm, batch=4)
+
+        q = db[9:12] * 0.98  # nearest to the ADDED frames
+        out_g = grown.query(q, model_norm)
+        out_f = fresh.query(q, model_norm)
+        np.testing.assert_array_equal(np.asarray(out_g["neighbors"]),
+                                      np.asarray(out_f["neighbors"]))
+        np.testing.assert_allclose(np.asarray(out_g["pose"]),
+                                   np.asarray(out_f["pose"]),
+                                   rtol=1e-5, atol=1e-5)
+        # the added frames are actually retrieved (top-ranked neighbor of
+        # a near-copy query is the frame itself)
+        top = np.asarray(out_g["neighbors"])[:, 0]
+        np.testing.assert_array_equal(top, [9, 10, 11])
+
+    def test_capacity_errors(self):
+        import pytest
+
+        db, poses = self._db(6)
+        no_cap = build_service()
+        no_cap.build(db, poses, model_norm, batch=4)
+        with pytest.raises(ValueError, match="capacity"):
+            no_cap.add_frames(db[:1], poses[:1], model_norm)
+
+        small = build_service(capacity=4)
+        with pytest.raises(ValueError, match="capacity"):
+            small.build(db, poses, model_norm, batch=4)
+
+        cap = build_service(capacity=8)
+        cap.build(db, poses, model_norm, batch=4)
+        with pytest.raises(ValueError, match="capacity exceeded"):
+            cap.add_frames(db[:3], poses[:3], model_norm)

@@ -144,11 +144,12 @@ class TestShardedFullService:
         db_desc = jax.device_put(svc.db_desc, rep)
         db_emb = jax.device_put(svc.db_emb, rep)
         db_p = jax.device_put(svc.db_poses, rep)
+        db_v = jax.device_put(svc.db_valid, rep)
 
         b = 16
         q = jnp.asarray(rng.random((b, 32, 40, 3)).astype(np.float32))
         q = jax.device_put(q, batch_sharding(mesh, 4))
-        out = svc._query_fn(norm, mv, nv, db_desc, db_emb, db_p, q,
+        out = svc._query_fn(norm, mv, nv, db_desc, db_emb, db_p, db_v, q,
                             jax.random.PRNGKey(3))
         assert out["pose"].shape == (b, 6)
         assert np.isfinite(np.asarray(out["pose"])).all()
