@@ -235,7 +235,15 @@ class RelocalizationService:
                 self.db_valid, start, jnp.int32(chunk.shape[0]))
         self.db_count += n_new
 
-    # -- the jitted query path -----------------------------------------
+    def invalidate_frames(self, indices) -> None:
+        """Tombstone database frames: flips their validity bits so they
+        are never retrieved again (bad/stale frames pruned during
+        operation).  Slots are NOT reclaimed — add_frames keeps
+        appending to fresh capacity; works with or without `capacity`
+        (without it this is the only mutation available)."""
+        assert self.db_valid is not None, "call build() first"
+        idx = jnp.asarray(np.asarray(indices, np.int32))
+        self.db_valid = self.db_valid.at[idx].set(False)
 
     def _make_query_fn(self):
         cfg = self.cfg

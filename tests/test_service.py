@@ -306,3 +306,26 @@ class TestCapacityGrowth:
         cap.build(db, poses, model_norm, batch=4)
         with pytest.raises(ValueError, match="capacity exceeded"):
             cap.add_frames(db[:3], poses[:3], model_norm)
+
+    def test_invalidate_frames(self):
+        """Tombstoned frames are never retrieved again, with or without
+        capacity."""
+        db, poses = self._db(10, seed=11)
+        svc = build_service(deterministic=True)
+        svc.build(db, poses, model_norm, batch=4)
+        q = db[4:5]  # exact copy of frame 4 -> top neighbor is 4
+        out = svc.query(q, model_norm)
+        assert int(np.asarray(out["neighbors"])[0, 0]) == 4
+        svc.invalidate_frames([4])
+        out2 = svc.query(q, model_norm)
+        nbrs2 = np.asarray(out2["neighbors"])
+        assert 4 not in nbrs2[0].tolist()
+        # stochastic path honors the tombstone too
+        svc_s = build_service(capacity=16, retrieval_candidates=None)
+        svc_s.build(db, poses, model_norm, batch=4)
+        svc_s.invalidate_frames([0, 1, 2])
+        for seed in range(3):
+            nbrs = np.asarray(svc_s.query(
+                q, model_norm, jax.random.PRNGKey(seed))["neighbors"])
+            assert not set(nbrs[0].tolist()) & {0, 1, 2}
+            assert (nbrs < 10).all()  # capacity padding still excluded
