@@ -68,6 +68,11 @@ def parse_args(argv):
                    help="capture a jax.profiler trace of the serving loop "
                         "(XLA timeline, viewable in TensorBoard/Perfetto; "
                         "utils/profiling.py)")
+    p.add_argument("--capacity", type=int, default=None,
+                   help="pre-allocate the device database to this many "
+                        "frames so RelocalizationService.add_frames can "
+                        "grow it online without recompiling the query "
+                        "program (padded slots are masked from retrieval)")
     return p.parse_args(argv)
 
 
@@ -171,7 +176,8 @@ def main(argv=None):
         model, model_vars, netvlad, nv_vars,
         ServiceConfig(seq_len=args.seq_len, sampling_period=sp,
                       retrieval_hw=rhw,
-                      deterministic=args.deterministic),
+                      deterministic=args.deterministic,
+                      capacity=args.capacity),
         fold_bn=not args.no_fold_bn)
 
     db = _load_split(args, train=True)
