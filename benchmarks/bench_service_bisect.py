@@ -72,8 +72,11 @@ def main():
     # device-synthesized database: no pixel upload, production-scale M
     kd, ke, kp, kq = jax.random.split(jax.random.PRNGKey(2), 4)
     feat = svc.model.cfg.feat_dim
+    # f32: production descriptors are f32 even with a bf16 NetVLAD trunk
+    # (the VLAD aggregation casts before its norms, models/netvlad.py) —
+    # a bf16 table here would time a sim matmul production never runs
     svc.db_desc = jax.jit(lambda k: jax.random.normal(
-        k, (m, 32768), jnp.bfloat16))(kd)
+        k, (m, 32768), jnp.float32))(kd)
     svc.db_emb = jax.jit(lambda k: jax.random.normal(
         k, (m, feat), jnp.bfloat16))(ke)
     svc.db_poses = jax.jit(lambda k: jax.random.normal(

@@ -169,6 +169,7 @@ class RelocalizationService:
             return desc, emb
 
         self._embed = embed  # reused by add_frames (same jit cache)
+        self._model_norm = model_norm  # embed traced it in; see add_frames
         descs, embs = [], []
         for i in range(0, len(db_images01), batch):
             chunk = jnp.asarray(db_images01[i:i + batch])
@@ -211,6 +212,14 @@ class RelocalizationService:
                 "the device arrays exactly; growth would change the query "
                 "program's shapes and force a recompile)")
         assert self.db_desc is not None, "call build() first"
+        if model_norm is not self._model_norm:
+            # the embed program traced build()'s model_norm in as a
+            # closure; embedding new frames under a DIFFERENT
+            # normalization would silently mix incompatible embeddings
+            raise ValueError(
+                "add_frames must be called with the same model_norm "
+                "function object build() used (a different normalization "
+                "requires rebuilding the whole database)")
         n_new = len(images01)
         cap = int(self.cfg.capacity)
         if self.db_count + n_new > cap:
@@ -228,11 +237,12 @@ class RelocalizationService:
                                         d.astype(self.db_desc.dtype), start)
             self.db_emb = _update_rows(self.db_emb,
                                        e.astype(self.db_emb.dtype), start)
-            self.db_poses = _update_rows(
-                self.db_poses,
-                jnp.asarray(poses[i:i + batch], jnp.float32), start)
-            self.db_valid = _update_valid(
-                self.db_valid, start, jnp.int32(chunk.shape[0]))
+        # poses + validity are host data: one write each for the whole call
+        self.db_poses = _update_rows(
+            self.db_poses, jnp.asarray(poses, jnp.float32),
+            jnp.int32(self.db_count))
+        self.db_valid = _update_valid(
+            self.db_valid, jnp.int32(self.db_count), jnp.int32(n_new))
         self.db_count += n_new
 
     def invalidate_frames(self, indices) -> None:
@@ -242,8 +252,16 @@ class RelocalizationService:
         appending to fresh capacity; works with or without `capacity`
         (without it this is the only mutation available)."""
         assert self.db_valid is not None, "call build() first"
-        idx = jnp.asarray(np.asarray(indices, np.int32))
-        self.db_valid = self.db_valid.at[idx].set(False)
+        idx_np = np.asarray(indices, np.int64).reshape(-1)
+        # JAX scatter silently DROPS out-of-bounds updates — a stale or
+        # typo'd index would be a no-op and the bad frame would keep
+        # being served; fail loudly instead
+        if idx_np.size and (idx_np.min() < 0
+                            or idx_np.max() >= self.db_count):
+            raise ValueError(
+                f"invalidate_frames indices out of range [0, "
+                f"{self.db_count}): {idx_np[(idx_np < 0) | (idx_np >= self.db_count)][:8]}")
+        self.db_valid = self.db_valid.at[jnp.asarray(idx_np)].set(False)
 
     def _make_query_fn(self):
         cfg = self.cfg
@@ -274,12 +292,21 @@ class RelocalizationService:
                 # plain strided top-k: every sampling_period-th of the
                 # ranked list.  Only ranks 0..(k-1)*sp are consumed, so
                 # rank exactly that window instead of a full-M argsort
-                # (top_k on the negated key == the stable sort; exact)
+                # (top_k on the negated key == the stable sort; exact).
+                # Ranks clamp to the last VALID entry (mirrors the
+                # stochastic branch's first-valid clamp): with fewer
+                # valid frames than the strided window — small builds
+                # into a large capacity, heavy invalidate_frames — the
+                # -inf-masked padding would otherwise be selected.
                 m = db_desc.shape[0]
                 sim_m = jnp.where(db_valid[None, :], sim, -jnp.inf)
                 c = min((k - 1) * cfg.sampling_period + 1, m)
                 _, order_c = jax.lax.top_k(sim_m, c)
-                nbrs = order_c[:, ::cfg.sampling_period][:, :k]  # [B, K]
+                n_valid = jnp.sum(db_valid.astype(jnp.int32))
+                ranks = jnp.arange(k, dtype=jnp.int32) * cfg.sampling_period
+                ranks = jnp.minimum(ranks, jnp.maximum(n_valid - 1, 0))
+                ranks = jnp.minimum(ranks, c - 1)  # tiny-DB guard (m < c)
+                nbrs = jnp.take(order_c, ranks, axis=1)          # [B, K]
             else:
                 nbrs = subsample_neighbors_batch(
                     rng, sim, ~db_valid, k, cfg.sampling_period,

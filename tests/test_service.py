@@ -329,3 +329,43 @@ class TestCapacityGrowth:
                 q, model_norm, jax.random.PRNGKey(seed))["neighbors"])
             assert not set(nbrs[0].tolist()) & {0, 1, 2}
             assert (nbrs < 10).all()  # capacity padding still excluded
+
+    def test_deterministic_never_selects_padding_when_valid_is_scarce(self):
+        """With fewer valid frames than the strided window (small build
+        into a large capacity, or heavy invalidation), the deterministic
+        ranks must clamp to the last valid entry instead of walking into
+        -inf-masked padding (review finding: padded slots were selected
+        whenever n_valid < (k-1)*sp+1)."""
+        db, poses = self._db(3, seed=5)
+        svc = build_service(deterministic=True, capacity=16)
+        svc.build(db, poses, model_norm, batch=4)  # k=3, sp=2 -> window 5
+        q = db[0:2]
+        nbrs = np.asarray(svc.query(q, model_norm)["neighbors"])
+        assert (nbrs >= 0).all() and (nbrs < 3).all(), nbrs
+        # same via invalidation: 10 frames, tombstone down to 2 valid
+        db2, poses2 = self._db(10, seed=6)
+        svc2 = build_service(deterministic=True)
+        svc2.build(db2, poses2, model_norm, batch=4)
+        svc2.invalidate_frames(list(range(2, 10)))
+        nbrs2 = np.asarray(svc2.query(q, model_norm)["neighbors"])
+        assert set(np.unique(nbrs2)) <= {0, 1}, nbrs2
+
+    def test_add_frames_rejects_different_model_norm(self):
+        import pytest
+
+        db, poses = self._db(6)
+        svc = build_service(capacity=8)
+        svc.build(db, poses, model_norm, batch=4)
+        with pytest.raises(ValueError, match="model_norm"):
+            svc.add_frames(db[:1], poses[:1], lambda x: x)
+
+    def test_invalidate_frames_rejects_out_of_range(self):
+        import pytest
+
+        db, poses = self._db(6)
+        svc = build_service()
+        svc.build(db, poses, model_norm, batch=4)
+        with pytest.raises(ValueError, match="out of range"):
+            svc.invalidate_frames([6])
+        with pytest.raises(ValueError, match="out of range"):
+            svc.invalidate_frames([-1])
