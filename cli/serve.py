@@ -73,6 +73,12 @@ def parse_args(argv):
                         "frames so RelocalizationService.add_frames can "
                         "grow it online without recompiling the query "
                         "program (padded slots are masked from retrieval)")
+    p.add_argument("--save-db", default=None, metavar="NPZ",
+                   help="persist the built database (descriptors + "
+                        "embeddings + poses) after building")
+    p.add_argument("--load-db", default=None, metavar="NPZ",
+                   help="restore a --save-db snapshot instead of "
+                        "embedding the training split (config must match)")
     return p.parse_args(argv)
 
 
@@ -180,16 +186,27 @@ def main(argv=None):
                       capacity=args.capacity),
         fold_bn=not args.no_fold_bn)
 
-    db = _load_split(args, train=True)
-    print(f"building database: {len(db)} frames ...")
-    # uint8 (4x less host RAM than float32 for multi-thousand-frame
-    # splits) with the reference's corrupt-frame skip-forward contract
-    from relpose_gnn_tpu.training.experiment import load_database_images
-    imgs = load_database_images(db, h, w)
-    t0 = time.perf_counter()
-    svc.build(imgs, db.poses, model_norm, batch=args.batch_size)
-    jax.block_until_ready(svc.db_desc)
-    print(f"database built in {time.perf_counter() - t0:.1f}s")
+    if args.load_db:
+        t0 = time.perf_counter()
+        svc.load_database(args.load_db)
+        jax.block_until_ready(svc.db_desc)
+        print(f"database restored from {args.load_db} "
+              f"({svc.db_count} frames, {time.perf_counter() - t0:.1f}s; "
+              "no re-embedding)")
+    else:
+        db = _load_split(args, train=True)
+        print(f"building database: {len(db)} frames ...")
+        # uint8 (4x less host RAM than float32 for multi-thousand-frame
+        # splits) with the reference's corrupt-frame skip-forward contract
+        from relpose_gnn_tpu.training.experiment import load_database_images
+        imgs = load_database_images(db, h, w)
+        t0 = time.perf_counter()
+        svc.build(imgs, db.poses, model_norm, batch=args.batch_size)
+        jax.block_until_ready(svc.db_desc)
+        print(f"database built in {time.perf_counter() - t0:.1f}s")
+    if args.save_db:
+        svc.save_database(args.save_db)
+        print(f"database saved to {args.save_db}")
 
     # --- serve the query split --------------------------------------------
     q = _load_split(args, train=False)

@@ -133,6 +133,8 @@ class RelocalizationService:
         self.db_poses = None  # [M, 6]
         self.db_valid = None  # [M] bool (False = padded/empty slot)
         self.db_count = 0     # valid rows (== M when capacity is None)
+        self._embed = None       # jitted embed, created by build()/
+        self._model_norm = None  # add_frames (traced-in normalization)
         self._query_fn = self._make_query_fn()
 
     # -- database construction (once) ---------------------------------
@@ -151,14 +153,7 @@ class RelocalizationService:
         x = jax.image.resize(images01, (b, h, w, 3), method="bilinear")
         return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
 
-    def build(self, db_images01: np.ndarray, db_poses: np.ndarray,
-              model_norm, batch: int = 16) -> None:
-        """Embed every database frame: NetVLAD descriptor + backbone node
-        embedding.  `model_norm(images01) -> model input` applies the
-        scene normalization used at graph-build time.  Accepts float in
-        [0, 1] or uint8 (4x less host RAM and H2D traffic; converted on
-        device per chunk, same contract as query())."""
-
+    def _make_embed(self, model_norm):
         @jax.jit
         def embed(chunk):
             desc = self.netvlad.apply(self.netvlad_vars,
@@ -170,6 +165,16 @@ class RelocalizationService:
 
         self._embed = embed  # reused by add_frames (same jit cache)
         self._model_norm = model_norm  # embed traced it in; see add_frames
+        return embed
+
+    def build(self, db_images01: np.ndarray, db_poses: np.ndarray,
+              model_norm, batch: int = 16) -> None:
+        """Embed every database frame: NetVLAD descriptor + backbone node
+        embedding.  `model_norm(images01) -> model input` applies the
+        scene normalization used at graph-build time.  Accepts float in
+        [0, 1] or uint8 (4x less host RAM and H2D traffic; converted on
+        device per chunk, same contract as query())."""
+        embed = self._make_embed(model_norm)
         descs, embs = [], []
         for i in range(0, len(db_images01), batch):
             chunk = jnp.asarray(db_images01[i:i + batch])
@@ -212,7 +217,11 @@ class RelocalizationService:
                 "the device arrays exactly; growth would change the query "
                 "program's shapes and force a recompile)")
         assert self.db_desc is not None, "call build() first"
-        if model_norm is not self._model_norm:
+        if self._embed is None:
+            # database restored via load_database: the embed program does
+            # not exist yet — create it from this call's normalization
+            self._make_embed(model_norm)
+        elif model_norm is not self._model_norm:
             # the embed program traced build()'s model_norm in as a
             # closure; embedding new frames under a DIFFERENT
             # normalization would silently mix incompatible embeddings
@@ -262,6 +271,47 @@ class RelocalizationService:
                 f"invalidate_frames indices out of range [0, "
                 f"{self.db_count}): {idx_np[(idx_np < 0) | (idx_np >= self.db_count)][:8]}")
         self.db_valid = self.db_valid.at[jnp.asarray(idx_np)].set(False)
+
+    # -- database persistence ------------------------------------------
+
+    def save_database(self, path: str) -> None:
+        """Persist the built database (descriptors, embeddings, poses,
+        validity, count) so a serving restart skips re-embedding the
+        whole scene (a VGG16 + ResNet34 pass over every frame).
+        bfloat16 arrays are widened to float32 on disk (numpy's npz has
+        no bf16; widening is exact) and cast back on load — the
+        round-trip is bit-exact."""
+        assert self.db_desc is not None, "call build() first"
+
+        def host(x):
+            return (np.asarray(x.astype(jnp.float32))
+                    if x.dtype == jnp.bfloat16 else np.asarray(x))
+
+        np.savez(path, desc=host(self.db_desc), emb=host(self.db_emb),
+                 poses=np.asarray(self.db_poses),
+                 valid=np.asarray(self.db_valid),
+                 count=np.int64(self.db_count),
+                 desc_dtype=str(self.db_desc.dtype),
+                 emb_dtype=str(self.db_emb.dtype))
+
+    def load_database(self, path: str) -> None:
+        """Restore a save_database() snapshot onto the device.  The
+        service's config must match the one that built it (capacity is
+        baked into the array sizes).  add_frames works after a load (the
+        embed program is created lazily from its model_norm)."""
+        z = np.load(path)
+        m = z["desc"].shape[0]
+        want = self.cfg.capacity if self.cfg.capacity is not None else m
+        if m != want:
+            raise ValueError(
+                f"snapshot rows ({m}) do not match this service's "
+                f"capacity ({want}); it was saved under a different "
+                "ServiceConfig")
+        self.db_desc = jnp.asarray(z["desc"]).astype(str(z["desc_dtype"]))
+        self.db_emb = jnp.asarray(z["emb"]).astype(str(z["emb_dtype"]))
+        self.db_poses = jnp.asarray(z["poses"])
+        self.db_valid = jnp.asarray(z["valid"])
+        self.db_count = int(z["count"])
 
     def _make_query_fn(self):
         cfg = self.cfg

@@ -369,3 +369,60 @@ class TestCapacityGrowth:
             svc.invalidate_frames([6])
         with pytest.raises(ValueError, match="out of range"):
             svc.invalidate_frames([-1])
+
+
+class TestDatabasePersistence:
+    def _db(self, n, seed=0):
+        rng = np.random.default_rng(seed)
+        return (rng.random((n, 32, 40, 3)).astype(np.float32),
+                rng.normal(size=(n, 6)).astype(np.float32))
+
+    def test_save_load_roundtrip_bitwise(self, tmp_path):
+        """A restored database serves bit-identical results to the one
+        that built it (bf16 arrays widen to f32 on disk and cast back —
+        exact), without re-embedding anything."""
+        db, poses = self._db(10, seed=1)
+        q = db[2:5] * 0.99
+        src = build_service(deterministic=True)
+        src.build(db, poses, model_norm, batch=4)
+        out_src = src.query(q, model_norm)
+        path = str(tmp_path / "db.npz")
+        src.save_database(path)
+
+        dst = build_service(deterministic=True)
+        dst.load_database(path)
+        assert dst.db_count == 10 and dst._embed is None
+        out_dst = dst.query(q, model_norm)
+        np.testing.assert_array_equal(np.asarray(out_src["pose"]),
+                                      np.asarray(out_dst["pose"]))
+        np.testing.assert_array_equal(np.asarray(out_src["neighbors"]),
+                                      np.asarray(out_dst["neighbors"]))
+
+    def test_load_then_add_frames(self, tmp_path):
+        """add_frames works on a restored database: the embed program is
+        created lazily from the call's model_norm."""
+        db, poses = self._db(12, seed=2)
+        src = build_service(deterministic=True, capacity=16)
+        src.build(db[:8], poses[:8], model_norm, batch=4)
+        path = str(tmp_path / "db.npz")
+        src.save_database(path)
+
+        dst = build_service(deterministic=True, capacity=16)
+        dst.load_database(path)
+        dst.add_frames(db[8:], poses[8:], model_norm, batch=4)
+        assert dst.db_count == 12
+        q = db[9:10] * 0.98
+        top = int(np.asarray(dst.query(q, model_norm)["neighbors"])[0, 0])
+        assert top == 9
+
+    def test_load_rejects_mismatched_capacity(self, tmp_path):
+        import pytest
+
+        db, poses = self._db(6, seed=3)
+        src = build_service(capacity=8)
+        src.build(db, poses, model_norm, batch=4)
+        path = str(tmp_path / "db.npz")
+        src.save_database(path)
+        dst = build_service(capacity=12)
+        with pytest.raises(ValueError, match="capacity"):
+            dst.load_database(path)
