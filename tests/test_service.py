@@ -11,16 +11,16 @@ from relpose_gnn_tpu.models.posenet import RelPoseGNN, RelPoseGNNConfig
 
 
 def build_service(seq_len=4, deterministic=False, retrieval_candidates=256,
-                  capacity=None):
+                  capacity=None, dtype=None):
     mcfg = RelPoseGNNConfig(num_nodes=seq_len, feat_dim=32, edge_dim=32,
                             node_dim=32, knn=2, backbone="resnet18",
-                            droprate=0.0)
+                            droprate=0.0, dtype=dtype)
     model = RelPoseGNN(mcfg)
     model_vars = model.init(jax.random.PRNGKey(0),
                             jnp.ones((1, seq_len, 32, 40, 3)),
                             jnp.ones((1, seq_len, seq_len), bool),
                             train=False)
-    netvlad = NetVLADEncoder(num_clusters=4, encoder_dim=512)
+    netvlad = NetVLADEncoder(num_clusters=4, encoder_dim=512, dtype=dtype)
     nv_vars = netvlad.init(jax.random.PRNGKey(1), jnp.ones((1, 48, 64, 3)))
     cfg = ServiceConfig(seq_len=seq_len, sampling_period=2,
                         retrieval_hw=(48, 64), deterministic=deterministic,
@@ -426,3 +426,22 @@ class TestDatabasePersistence:
         dst = build_service(capacity=12)
         with pytest.raises(ValueError, match="capacity"):
             dst.load_database(path)
+
+    def test_save_load_roundtrip_bfloat16_arrays(self, tmp_path):
+        """The bf16 widen-to-f32-on-disk branch restores dtype AND bits.
+        (Production db arrays are f32 — encode_nodes casts embeddings up,
+        NetVLAD casts descriptors up — so this branch is exercised with a
+        synthetic bf16 table; it exists for future bf16-resident
+        databases.)"""
+        db, poses = self._db(8, seed=4)
+        src = build_service(deterministic=True)
+        src.build(db, poses, model_norm, batch=4)
+        src.db_emb = src.db_emb.astype(jnp.bfloat16)  # synthetic bf16
+        path = str(tmp_path / "db.npz")
+        src.save_database(path)
+        dst = build_service(deterministic=True)
+        dst.load_database(path)
+        assert dst.db_emb.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(src.db_emb.astype(jnp.float32)),
+            np.asarray(dst.db_emb.astype(jnp.float32)))
