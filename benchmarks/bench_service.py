@@ -52,6 +52,14 @@ def main():
     ap.add_argument("--skip-host-legs", action="store_true",
                     help="device-resident leg only (skips the uint8 "
                          "program compile + slow tunnel uploads)")
+    ap.add_argument("--retrieval-hw", type=int, nargs=2, default=(192, 256),
+                    help="NetVLAD input size A/B: the VGG16 trunk is 63%% "
+                         "of the full query step (bench_service_bisect) "
+                         "and scales with H*W; reduced-resolution "
+                         "retrieval is a deployment knob whose ranking "
+                         "quality must be validated per scene "
+                         "(tests/test_service.py measures synthetic-scene "
+                         "neighbor overlap)")
     args = ap.parse_args()
 
     z = jnp.zeros(())
@@ -71,13 +79,14 @@ def main():
     model_vars = jax.jit(lambda k: model.init(
         k, jnp.ones((1, 8, h, w, 3)), jnp.ones((1, 8, 8), bool),
         train=False))(jax.random.PRNGKey(0))
+    rhw = tuple(args.retrieval_hw)
     netvlad = NetVLADEncoder(dtype=jnp.bfloat16)
     nv_vars = jax.jit(lambda k: netvlad.init(
-        k, jnp.ones((1, 192, 256, 3))))(jax.random.PRNGKey(1))
+        k, jnp.ones((1,) + rhw + (3,))))(jax.random.PRNGKey(1))
     jax.block_until_ready((model_vars, nv_vars))
 
     svc = RelocalizationService(model, model_vars, netvlad, nv_vars,
-                                ServiceConfig())
+                                ServiceConfig(retrieval_hw=rhw))
 
     m = args.db  # database frames (tunnel uploads are slow)
     rng = np.random.default_rng(0)

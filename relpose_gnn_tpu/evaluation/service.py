@@ -292,7 +292,8 @@ class RelocalizationService:
                  valid=np.asarray(self.db_valid),
                  count=np.int64(self.db_count),
                  desc_dtype=str(self.db_desc.dtype),
-                 emb_dtype=str(self.db_emb.dtype))
+                 emb_dtype=str(self.db_emb.dtype),
+                 retrieval_hw=np.asarray(self.cfg.retrieval_hw, np.int64))
 
     def load_database(self, path: str) -> None:
         """Restore a save_database() snapshot onto the device.  The
@@ -307,6 +308,16 @@ class RelocalizationService:
                 f"snapshot rows ({m}) do not match this service's "
                 f"capacity ({want}); it was saved under a different "
                 "ServiceConfig")
+        # descriptors are a function of the NetVLAD input size: serving a
+        # 192x256-built database to queries embedded at another resolution
+        # would silently rank garbage similarities — fail loudly instead
+        snap_hw = tuple(int(v) for v in z["retrieval_hw"])
+        if snap_hw != tuple(self.cfg.retrieval_hw):
+            raise ValueError(
+                f"snapshot was built with retrieval_hw={snap_hw} but this "
+                f"service embeds queries at {tuple(self.cfg.retrieval_hw)}; "
+                "mixed-resolution descriptors are not comparable — rebuild "
+                "the database (or match the config)")
         self.db_desc = jnp.asarray(z["desc"]).astype(str(z["desc_dtype"]))
         self.db_emb = jnp.asarray(z["emb"]).astype(str(z["emb_dtype"]))
         self.db_poses = jnp.asarray(z["poses"])

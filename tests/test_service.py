@@ -11,7 +11,7 @@ from relpose_gnn_tpu.models.posenet import RelPoseGNN, RelPoseGNNConfig
 
 
 def build_service(seq_len=4, deterministic=False, retrieval_candidates=256,
-                  capacity=None, dtype=None):
+                  capacity=None, dtype=None, retrieval_hw=(48, 64)):
     mcfg = RelPoseGNNConfig(num_nodes=seq_len, feat_dim=32, edge_dim=32,
                             node_dim=32, knn=2, backbone="resnet18",
                             droprate=0.0, dtype=dtype)
@@ -23,7 +23,8 @@ def build_service(seq_len=4, deterministic=False, retrieval_candidates=256,
     netvlad = NetVLADEncoder(num_clusters=4, encoder_dim=512, dtype=dtype)
     nv_vars = netvlad.init(jax.random.PRNGKey(1), jnp.ones((1, 48, 64, 3)))
     cfg = ServiceConfig(seq_len=seq_len, sampling_period=2,
-                        retrieval_hw=(48, 64), deterministic=deterministic,
+                        retrieval_hw=retrieval_hw,
+                        deterministic=deterministic,
                         retrieval_candidates=retrieval_candidates,
                         capacity=capacity)
     return RelocalizationService(model, model_vars, netvlad, nv_vars, cfg)
@@ -216,6 +217,58 @@ class TestResizeDrift:
         # min descriptor cosine ~0.999; threshold leaves slack for BLAS
         # variation across hosts
         assert overlap >= 0.9, overlap
+
+    def test_neighbor_overlap_reduced_retrieval_resolution(self):
+        """Quantify the reduced-resolution retrieval KNOB (ServiceConfig
+        .retrieval_hw; bench_service --retrieval-hw): the VGG16 trunk is
+        63% of the full query step and scales with H*W, so halving each
+        retrieval dimension quarters its FLOPs.  Unlike the two-resize
+        comparison above this is a SEMANTIC change — descriptors differ —
+        so the honest question is ranking agreement, not descriptor
+        cosine.  Both the database and the queries embed at the same
+        (reduced) size (build() and query() share _netvlad_input, and
+        load_database rejects mixed-resolution snapshots).
+
+        Synthetic-scene evidence only: overlapping crops of a smooth
+        field, untrained NetVLAD weights (no egress).  Measured 2026-08:
+        top-4 overlap 0.927 at half resolution on this scene.  Real
+        scenes must validate per deployment — the knob defaults OFF
+        (192x256 everywhere)."""
+        from scipy.ndimage import gaussian_filter
+
+        from relpose_gnn_tpu.models.netvlad import NetVLADEncoder
+        from relpose_gnn_tpu.retrieval.netvlad_index import (IMAGENET_MEAN,
+                                                             IMAGENET_STD)
+
+        rng = np.random.default_rng(3)
+        field = gaussian_filter(rng.normal(size=(200, 270, 3)),
+                                sigma=(7, 7, 0))
+        field = (field - field.min()) / (field.max() - field.min())
+        h, w, m = 96, 128, 24
+        frames = np.stack([field[3 * i:3 * i + h, 4 * i:4 * i + w]
+                           for i in range(m)]).astype(np.float32)
+
+        enc = NetVLADEncoder(num_clusters=8)
+
+        def descriptors(hw):
+            x = jax.image.resize(jnp.asarray(frames), (m, *hw, 3),
+                                 "bilinear")
+            x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+            v = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, *hw, 3)))
+            return np.asarray(enc.apply(v, x), np.float64)
+
+        k = 4
+
+        def topk_sets(d):
+            sim = d @ d.T
+            np.fill_diagonal(sim, -np.inf)
+            return np.argsort(-sim, axis=1)[:, :k]
+
+        top_full = topk_sets(descriptors((48, 64)))
+        top_half = topk_sets(descriptors((24, 32)))
+        overlap = np.mean([len(set(a) & set(b)) / k
+                           for a, b in zip(top_full, top_half)])
+        assert overlap >= 0.75, overlap
 
 
 class TestCapacityGrowth:
@@ -425,6 +478,22 @@ class TestDatabasePersistence:
         src.save_database(path)
         dst = build_service(capacity=12)
         with pytest.raises(ValueError, match="capacity"):
+            dst.load_database(path)
+
+    def test_load_rejects_mismatched_retrieval_hw(self, tmp_path):
+        """Descriptors are a function of the NetVLAD input size: a
+        snapshot built at one retrieval_hw served to queries embedded at
+        another would silently rank garbage similarities — load must
+        fail loudly."""
+        import pytest
+
+        db, poses = self._db(6, seed=5)
+        src = build_service()
+        src.build(db, poses, model_norm, batch=4)
+        path = str(tmp_path / "db.npz")
+        src.save_database(path)
+        dst = build_service(retrieval_hw=(24, 32))
+        with pytest.raises(ValueError, match="retrieval_hw"):
             dst.load_database(path)
 
     def test_save_load_roundtrip_bfloat16_arrays(self, tmp_path):
