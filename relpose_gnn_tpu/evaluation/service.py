@@ -72,6 +72,13 @@ def _update_valid(valid: jax.Array, start: jax.Array,
     return valid | ((idx >= start) & (idx < start + count))
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _gather_rows(buf: jax.Array, perm: jax.Array) -> jax.Array:
+    """Row permutation with the input donated (compaction must not
+    transiently double the 32768-wide descriptor table's HBM)."""
+    return buf[perm]
+
+
 @dataclasses.dataclass
 class ServiceConfig:
     seq_len: int = 8                 # graph size (query + seq_len-1 nbrs)
@@ -257,9 +264,10 @@ class RelocalizationService:
     def invalidate_frames(self, indices) -> None:
         """Tombstone database frames: flips their validity bits so they
         are never retrieved again (bad/stale frames pruned during
-        operation).  Slots are NOT reclaimed — add_frames keeps
-        appending to fresh capacity; works with or without `capacity`
-        (without it this is the only mutation available)."""
+        operation).  Slots are NOT reclaimed here — add_frames keeps
+        appending to fresh capacity until compact_database() reclaims
+        the tombstones; works with or without `capacity` (without it
+        compact + re-query is the only mutation available)."""
         assert self.db_valid is not None, "call build() first"
         idx_np = np.asarray(indices, np.int64).reshape(-1)
         # JAX scatter silently DROPS out-of-bounds updates — a stale or
@@ -271,6 +279,45 @@ class RelocalizationService:
                 f"invalidate_frames indices out of range [0, "
                 f"{self.db_count}): {idx_np[(idx_np < 0) | (idx_np >= self.db_count)][:8]}")
         self.db_valid = self.db_valid.at[jnp.asarray(idx_np)].set(False)
+
+    def compact_database(self) -> np.ndarray:
+        """Reclaim tombstoned slots: permute the valid rows to the front
+        (stable — survivors keep their relative order) and reset
+        `db_count` to the valid total, so under add/invalidate churn the
+        capacity add_frames appends into is bounded by the LIVE frame
+        count, not the all-time total.  Array shapes are static: the
+        query program never recompiles.
+
+        Returns `old_to_new`, an int64 [M] map from pre-compaction slot
+        index to post-compaction index (-1 for tombstoned/padded slots)
+        — any externally-held frame indices (e.g. queued
+        invalidate_frames targets) must be remapped through it.
+
+        Query results are preserved exactly: invalid entries are masked
+        out of the ranking key on both selection branches
+        (`subsample_neighbors_batch` ranks them last with +inf keys, so
+        they never consume drop-mask bits), survivors keep relative
+        order under the stable permutation, and drop draws are keyed by
+        rank position — so both modes return the same frames (slot
+        indices renumbered through `old_to_new`) and bit-identical
+        poses.  Tested both modes."""
+        assert self.db_valid is not None, "call build() first"
+        valid = np.asarray(self.db_valid)
+        m = valid.shape[0]
+        n_valid = int(valid.sum())
+        old_to_new = np.cumsum(valid, dtype=np.int64) - 1
+        old_to_new[~valid] = -1
+        if n_valid == self.db_count and valid[:n_valid].all():
+            return old_to_new  # already compact: no device work
+        # stable: False (~valid=0 for valid rows) sorts first, original
+        # order preserved within each class
+        perm = jnp.asarray(np.argsort(~valid, kind="stable"))
+        self.db_desc = _gather_rows(self.db_desc, perm)
+        self.db_emb = _gather_rows(self.db_emb, perm)
+        self.db_poses = _gather_rows(self.db_poses, perm)
+        self.db_valid = jnp.asarray(np.arange(m) < n_valid)
+        self.db_count = n_valid
+        return old_to_new
 
     # -- database persistence ------------------------------------------
 
@@ -338,8 +385,15 @@ class RelocalizationService:
         # across calls (a fresh lambda per call would retrace).
         @partial(jax.jit, static_argnums=(0,))
         def query_fn(model_norm, model_vars, netvlad_vars, db_desc,
-                     db_emb, db_poses, db_valid, query01, rng):
-            query_model_in = model_norm(query01)
+                     db_emb, db_poses, db_valid, query01, rng,
+                     norm_ms=None):
+            # norm_ms=(mean, std) arrays move the scene normalization
+            # from a traced-in constant to a runtime ARGUMENT — the one
+            # per-scene constant this program otherwise bakes in, and
+            # what lets MultiSceneService share a single executable
+            # across scenes (evaluation/multiscene.py)
+            query_model_in = (model_norm(query01) if norm_ms is None
+                              else (query01 - norm_ms[0]) / norm_ms[1])
             b = query01.shape[0]
             # 1. retrieval descriptor + similarities (one matmul)
             q_desc = self.netvlad.apply(netvlad_vars,
@@ -398,13 +452,19 @@ class RelocalizationService:
         return query_fn
 
     def query(self, query_images01: np.ndarray, model_norm,
-              rng: jax.Array | None = None) -> dict:
+              rng: jax.Array | None = None, norm_ms=None) -> dict:
         """Relocalize a batch of raw [B, H, W, 3] images.
 
         Accepts float in [0, 1], or uint8 — uint8 transfers 4x fewer
         bytes host->device and is converted/normalized ON DEVICE (the
         packed training stores are uint8 too, so this is also the
         bit-exact parity path vs training data).
+
+        `norm_ms=(mean, std)` passes the scene normalization as runtime
+        arrays instead of the traced-in `model_norm` callable (which is
+        then ignored — pass None): same formula `(x - mean) / std`, but
+        the compiled program becomes scene-independent
+        (MultiSceneService's executable-sharing contract).
 
         Returns {'pose' [B, 6] pose6, 'neighbors' [B, K], 'anchor' [B]}.
         """
@@ -417,12 +477,14 @@ class RelocalizationService:
             # bit-identical to quantized-float queries (tested) and uint8
             # callers don't pay a second full-model compile
             q = _to_float01(q)
-        return self._query_fn(model_norm, self.model_vars,
+        return self._query_fn(None if norm_ms is not None else model_norm,
+                              self.model_vars,
                               self.netvlad_vars, self.db_desc, self.db_emb,
-                              self.db_poses, self.db_valid, q, rng)
+                              self.db_poses, self.db_valid, q, rng,
+                              norm_ms)
 
     def query_stream(self, batches, model_norm, depth: int = 2,
-                     rng: jax.Array | None = None):
+                     rng: jax.Array | None = None, norm_ms=None):
         """Pipelined serving: relocalize a stream of query batches.
 
         Keeps up to `depth` batches in flight (JAX dispatch is async), so
@@ -446,7 +508,8 @@ class RelocalizationService:
 
         for i, q in enumerate(batches):
             inflight.append(self.query(q, model_norm,
-                                       jax.random.fold_in(rng, i)))
+                                       jax.random.fold_in(rng, i),
+                                       norm_ms=norm_ms))
             if len(inflight) >= depth:
                 yield fetch(inflight.popleft())
         while inflight:

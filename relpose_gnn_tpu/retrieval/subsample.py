@@ -99,7 +99,14 @@ def subsample_neighbors(rng: jax.Array, similarity: jax.Array,
     that case, which cannot happen at its dataset sizes).
     """
     m = similarity.shape[0]
-    order = jnp.argsort(1.0 - similarity, stable=True)          # ranked idx
+    # invalid entries rank LAST (+inf key), like the host pipeline's
+    # filter-before-draw order (rank_and_filter_numpy feeds
+    # subsample_ranked_numpy an already-filtered list): they never
+    # consume drop-mask bits, so the selection is invariant to WHERE in
+    # the database the invalid slots sit — the contract
+    # RelocalizationService.compact_database relies on
+    order = jnp.argsort(jnp.where(invalid, jnp.inf, 1.0 - similarity),
+                        stable=True)                            # ranked idx
     idx, _ = _select_from_ranked(rng, order, invalid[order], k,
                                  sampling_period, m)
     return idx
@@ -181,9 +188,16 @@ def subsample_neighbors_batch(rng: jax.Array, similarity: jax.Array,
     invalid = jnp.broadcast_to(invalid, (b, m))
     drop_rng, start_rng = jax.random.split(rng)
     starts = jax.random.randint(start_rng, (b,), 0, sampling_period)
+    # invalid entries rank LAST (+inf key) in BOTH branches: the host
+    # pipeline's filter-before-draw order (they never consume drop-mask
+    # bits), which (a) makes results invariant to where the invalid
+    # slots sit — the RelocalizationService.compact_database exactness
+    # contract — and (b) keeps the top-C window from being clogged by
+    # entries the selection can never take
+    key = jnp.where(invalid, jnp.inf, 1.0 - similarity)
 
     def full_path():
-        order = jnp.argsort(1.0 - similarity, axis=1, stable=True)
+        order = jnp.argsort(key, axis=1, stable=True)
         idx, _ = _select_ranked_batch(
             order, jnp.take_along_axis(invalid, order, 1),
             _drop_mask(drop_rng, b, m), starts, k, sampling_period)
@@ -201,9 +215,9 @@ def subsample_neighbors_batch(rng: jax.Array, similarity: jax.Array,
     c = min(m, ((max(int(candidates), k) + _MASK_CHUNK - 1) // _MASK_CHUNK)
             * _MASK_CHUNK)
 
-    # same key/rounding as argsort(1.0 - sim): negation is exact, and
-    # top_k's equal-value lower-index-first order == the stable sort
-    _, order_c = jax.lax.top_k(-(1.0 - similarity), c)
+    # same key/rounding as the full path's argsort: negation is exact,
+    # and top_k's equal-value lower-index-first order == the stable sort
+    _, order_c = jax.lax.top_k(-key, c)
     win_idx, win_ok = _select_ranked_batch(
         order_c, jnp.take_along_axis(invalid, order_c, 1),
         _drop_mask(drop_rng, b, c), starts, k, sampling_period)

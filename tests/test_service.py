@@ -383,6 +383,66 @@ class TestCapacityGrowth:
             assert not set(nbrs[0].tolist()) & {0, 1, 2}
             assert (nbrs < 10).all()  # capacity padding still excluded
 
+    def test_compact_database_reclaims_slots(self):
+        """invalidate -> compact -> add: compaction keeps deterministic
+        query results exact (neighbors renumbered through the returned
+        old_to_new map, poses bitwise) and frees the tombstoned capacity
+        for add_frames."""
+        db, poses = self._db(12, seed=11)
+        svc = build_service(deterministic=True, capacity=12)
+        svc.build(db[:8], poses[:8], model_norm, batch=4)
+        svc.invalidate_frames([1, 3, 4])
+        q = db[5:8] * 0.98
+        before = svc.query(q, model_norm)
+
+        mapping = svc.compact_database()
+        assert svc.db_count == 5
+        np.testing.assert_array_equal(mapping[:8],
+                                      [0, -1, 1, -1, -1, 2, 3, 4])
+        after = svc.query(q, model_norm)
+        np.testing.assert_array_equal(
+            mapping[np.asarray(before["neighbors"])],
+            np.asarray(after["neighbors"]))
+        np.testing.assert_array_equal(np.asarray(before["pose"]),
+                                      np.asarray(after["pose"]))
+
+        # compacting an already-compact DB is a no-op (no device work)
+        d_ref = svc.db_desc
+        mapping2 = svc.compact_database()
+        assert svc.db_desc is d_ref
+        np.testing.assert_array_equal(mapping2[:5], np.arange(5))
+        assert (mapping2[5:] == -1).all()
+
+        # the 3 tombstoned slots are reclaimed: 12-capacity DB holding 5
+        # live frames accepts 4 more (8 + 4 would have exceeded it)
+        svc.add_frames(db[8:], poses[8:], model_norm, batch=4)
+        assert svc.db_count == 9
+        top = np.asarray(svc.query(db[9:12] * 0.98, model_norm)
+                         ["neighbors"])[:, 0]
+        np.testing.assert_array_equal(top, [6, 7, 8])
+
+    def test_compact_database_preserves_stochastic_selection(self):
+        """Stochastic drop draws are keyed by rank position, not slot
+        index, so compaction must not change which FRAMES any seed
+        selects — only their slot numbers (via old_to_new)."""
+        db, poses = self._db(10, seed=13)
+        q = np.random.default_rng(14).random((4, 32, 40, 3)).astype(
+            np.float32)
+        svc = build_service(capacity=16, retrieval_candidates=None)
+        svc.build(db, poses, model_norm, batch=4)
+        svc.invalidate_frames([0, 2, 7])
+        keys = [jax.random.PRNGKey(s) for s in range(3)]
+        before = [svc.query(q, model_norm, k) for k in keys]
+        mapping = svc.compact_database()
+        assert svc.db_count == 7
+        for k, b in zip(keys, before):
+            a = svc.query(q, model_norm, k)
+            np.testing.assert_array_equal(
+                mapping[np.asarray(b["neighbors"])],
+                np.asarray(a["neighbors"]))
+            np.testing.assert_array_equal(np.asarray(b["pose"]),
+                                          np.asarray(a["pose"]))
+
     def test_deterministic_never_selects_padding_when_valid_is_scarce(self):
         """With fewer valid frames than the strided window (small build
         into a large capacity, or heavy invalidation), the deterministic
