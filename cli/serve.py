@@ -12,10 +12,20 @@ preprocessing pipeline and a separate eval script (SURVEY.md §3.2-3.3) —
 there is no reference analog; errors are reported with the standard
 per-scene median protocol when ground truth is available.
 
+Passing SEVERAL scenes serves them all through ONE compiled query
+executable (evaluation/multiscene.py::MultiSceneService): every scene's
+database pads to a shared capacity and its pixel normalization rides as
+runtime arrays, so adding scenes never recompiles — the reference's
+one-model-all-scenes protocol (training/train.py:87-106,
+testing/test.py:350-353) without S compiles of the same program.  The
+CLI logs the compile count as proof.
+
 Example:
     python cli/serve.py --dataset 7Scenes --scene chess \
       --data-path /data/7Scenes --weights epoch_199.ckpt \
       --netvlad-checkpoint netvlad_vgg16.tar --batch-size 64
+    python cli/serve.py --dataset 7Scenes \
+      --scene chess fire heads office pumpkin redkitchen stairs ...
 """
 
 import argparse
@@ -27,7 +37,9 @@ def parse_args(argv):
     p = argparse.ArgumentParser("relpose_gnn_tpu serve")
     p.add_argument("--dataset", default="7Scenes",
                    choices=("7Scenes", "Cambridge"))
-    p.add_argument("--scene", required=True)
+    p.add_argument("--scene", required=True, nargs="+",
+                   help="one scene, or several — several scenes share a "
+                        "single compiled query program (MultiSceneService)")
     p.add_argument("--data-path", required=True, help="raw dataset root")
     p.add_argument("--weights", default="",
                    help=".pth.tar (converted) or Orbax ckpt dir; empty = "
@@ -82,21 +94,81 @@ def parse_args(argv):
     return p.parse_args(argv)
 
 
-def _load_split(args, train: bool):
+def _load_split(args, scene: str, train: bool):
     if args.dataset == "7Scenes":
         from relpose_gnn_tpu.data.seven_scenes import SevenScenes
-        return SevenScenes(args.scene, args.data_path, train=train,
+        return SevenScenes(scene, args.data_path, train=train,
                            image_size=args.image_size)
     from relpose_gnn_tpu.data.cambridge import CambridgeLandmark
     if not args.pose_stat_path:
         print("WARNING: Cambridge without --pose-stat-path: translations "
               "stay raw meters (checkpoints trained on normalized "
               "translations will NOT relocalize correctly)")
-    return CambridgeLandmark(args.scene, args.data_path, train=train,
+    return CambridgeLandmark(scene, args.data_path, train=train,
                              image_size=args.image_size,
                              pose_stats_file=args.pose_stat_path or None,
                              normalize_translation=bool(args.pose_stat_path),
                              normalize_images=False)
+
+
+def _scene_stats(args, scene: str):
+    """Per-scene pixel normalization stats (7-Scenes stats.txt values;
+    Cambridge's fixed Normalize(0.5/0.25))."""
+    import numpy as np
+    if args.dataset == "7Scenes":
+        from relpose_gnn_tpu.data.seven_scenes import load_scene_stats
+        return load_scene_stats(args.stats_path, scene)
+    return np.full(3, 0.5, np.float32), np.full(3, 0.25, np.float32)
+
+
+def _make_query_batches(q, args, h: int, w: int):
+    """uint8 query batch generator over a query split + the list that
+    records which frame index each served row came from (corrupt frames
+    are substituted skip-forward, the reference contract
+    seven_scenes.py:131-144 — not served as all-black garbage).
+
+    Every yielded batch has the FULL --batch-size rows: a ragged tail is
+    padded by repeating its last frame, so the whole run (and, for
+    several scenes, the whole deployment) hits ONE compiled query
+    program instead of one per distinct tail shape.  Padded rows are not
+    recorded in `src_indices`; callers trim outputs to its length."""
+    import numpy as np
+    from relpose_gnn_tpu.data.graph_builder import _fit
+
+    src_indices: list[int] = []
+
+    def _load_skip_forward(idx):
+        j = idx
+        while j < len(q):
+            img = q.load_image(j)
+            if img is not None:
+                return j, img
+            j += 1
+        j = idx - 1  # tail corruption: scan backward
+        while j >= 0:
+            img = q.load_image(j)
+            if img is not None:
+                return j, img
+            j -= 1
+        raise ValueError("query split has no readable frames")
+
+    def gen():
+        for i in range(0, len(q), args.batch_size):
+            n = min(args.batch_size, len(q) - i)
+            # uint8 on the wire: 4x less host->device traffic; the
+            # service converts + normalizes on device (matches the packed
+            # stores' uint8 quantization: serving == training data parity)
+            batch = np.zeros((args.batch_size, h, w, 3), np.uint8)
+            for j in range(n):
+                src, img = _load_skip_forward(i + j)
+                src_indices.append(src)
+                batch[j] = np.round(
+                    np.clip(_fit(img, h, w), 0, 1) * 255
+                ).astype(np.uint8)
+            batch[n:] = batch[n - 1]  # static-shape tail padding
+            yield batch
+
+    return gen, src_indices
 
 
 def main(argv=None):
@@ -105,9 +177,6 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from relpose_gnn_tpu.data.graph_builder import _fit
-    from relpose_gnn_tpu.data.seven_scenes import load_scene_stats
-    from relpose_gnn_tpu.evaluation.evaluator import compute_pose_errors
     from relpose_gnn_tpu.evaluation.service import (RelocalizationService,
                                                     ServiceConfig)
     from relpose_gnn_tpu.models.netvlad import NetVLADEncoder
@@ -166,18 +235,21 @@ def main(argv=None):
                                jnp.ones((1,) + rhw + (3,)))
         print("WARNING: random NetVLAD weights (smoke mode)")
 
+    # --- several scenes: one shared executable (MultiSceneService) ---------
+    sp = args.sampling_period or (3 if args.dataset == "Cambridge" else 5)
+    if len(args.scene) > 1:
+        return _serve_multiscene(args, model, model_vars, netvlad, nv_vars,
+                                 h, w, rhw, sp)
+
     # --- scene normalization ----------------------------------------------
-    if args.dataset == "7Scenes":
-        mean, std = load_scene_stats(args.stats_path, args.scene)
-    else:
-        mean, std = np.full(3, 0.5, np.float32), np.full(3, 0.25, np.float32)
+    scene = args.scene[0]
+    mean, std = _scene_stats(args, scene)
     mean_j, std_j = jnp.asarray(mean), jnp.asarray(std)
 
     def model_norm(x01):
         return (x01 - mean_j) / std_j
 
     # --- database ----------------------------------------------------------
-    sp = args.sampling_period or (3 if args.dataset == "Cambridge" else 5)
     svc = RelocalizationService(
         model, model_vars, netvlad, nv_vars,
         ServiceConfig(seq_len=args.seq_len, sampling_period=sp,
@@ -194,7 +266,7 @@ def main(argv=None):
               f"({svc.db_count} frames, {time.perf_counter() - t0:.1f}s; "
               "no re-embedding)")
     else:
-        db = _load_split(args, train=True)
+        db = _load_split(args, scene, train=True)
         print(f"building database: {len(db)} frames ...")
         # uint8 (4x less host RAM than float32 for multi-thousand-frame
         # splits) with the reference's corrupt-frame skip-forward contract
@@ -209,44 +281,11 @@ def main(argv=None):
         print(f"database saved to {args.save_db}")
 
     # --- serve the query split --------------------------------------------
-    q = _load_split(args, train=False)
+    q = _load_split(args, scene, train=False)
     print(f"serving {len(q)} queries (batch {args.batch_size}, "
           f"pipeline depth {args.pipeline_depth}) ...")
 
-    src_indices: list[int] = []  # served frame per output row
-
-    def _load_skip_forward(idx):
-        """Reference corrupt-frame contract: serve the next readable
-        frame (seven_scenes.py:131-144) instead of an all-black image
-        that would yield a garbage pose silently counted in the medians."""
-        j = idx
-        while j < len(q):
-            img = q.load_image(j)
-            if img is not None:
-                return j, img
-            j += 1
-        j = idx - 1  # tail corruption: scan backward
-        while j >= 0:
-            img = q.load_image(j)
-            if img is not None:
-                return j, img
-            j -= 1
-        raise ValueError("query split has no readable frames")
-
-    def query_batches():
-        for i in range(0, len(q), args.batch_size):
-            n = min(args.batch_size, len(q) - i)
-            # uint8 on the wire: 4x less host->device traffic; the service
-            # converts + normalizes on device (matches the packed stores'
-            # uint8 quantization, so serving == training data parity)
-            batch = np.zeros((n, h, w, 3), np.uint8)
-            for j in range(n):
-                src, img = _load_skip_forward(i + j)
-                src_indices.append(src)
-                batch[j] = np.round(
-                    np.clip(_fit(img, h, w), 0, 1) * 255
-                ).astype(np.uint8)
-            yield batch
+    query_batches, src_indices = _make_query_batches(q, args, h, w)
 
     # pipelined: while batch i computes on device, the host decodes and
     # uploads batch i+1..i+depth (evaluation/service.py::query_stream)
@@ -257,11 +296,23 @@ def main(argv=None):
             query_batches(), model_norm, depth=args.pipeline_depth,
             rng=jax.random.PRNGKey(args.seed))]
     t_serve = time.perf_counter() - t0
-    poses_out = np.concatenate(poses_out)
+    # trim the static-shape tail padding (see _make_query_batches)
+    poses_out = np.concatenate(poses_out)[:len(src_indices)]
     served = len(poses_out)
     print(f"served {served} queries in {t_serve:.2f}s "
           f"({served / max(t_serve, 1e-9):.0f} q/s incl. retrieval AND "
           f"host image decode, pipelined)")
+
+    err = _report_scene(args, q, poses_out, src_indices, args.out)
+    return err
+
+
+def _report_scene(args, q, poses_out, src_indices, out_path):
+    """Per-scene error report + optional npz export (shared by the
+    single-scene and multi-scene paths)."""
+    import numpy as np
+
+    from relpose_gnn_tpu.evaluation.evaluator import compute_pose_errors
 
     pose_mean = pose_std = None
     if args.dataset == "Cambridge" and args.pose_stat_path:
@@ -271,12 +322,91 @@ def main(argv=None):
     err = compute_pose_errors(poses_out, targ,
                               pose_mean=pose_mean, pose_std=pose_std)
     print(err)
-    if args.out:
-        np.savez(args.out, pose6=poses_out,
+    if out_path:
+        np.savez(out_path, pose6=poses_out,
                  abs_t=err.pred_poses[:, :3], abs_q=err.pred_poses[:, 3:],
                  targ_t=err.targ_poses[:, :3], targ_q=err.targ_poses[:, 3:])
-        print(f"wrote {args.out}")
+        print(f"wrote {out_path}")
     return err
+
+
+def _serve_multiscene(args, model, model_vars, netvlad, nv_vars,
+                      h, w, rhw, sp):
+    """Serve several scenes through ONE compiled query executable
+    (evaluation/multiscene.py).  Databases pad to a common capacity and
+    each scene's normalization rides as runtime arrays, so the compile
+    count printed at the end is 1 no matter how many scenes run."""
+    import numpy as np
+    import jax
+
+    from relpose_gnn_tpu.evaluation.multiscene import MultiSceneService
+    from relpose_gnn_tpu.evaluation.service import ServiceConfig
+    from relpose_gnn_tpu.training.experiment import load_database_images
+
+    scenes = args.scene
+    databases = {}
+    capacity = args.capacity
+    if not args.load_db:
+        databases = {s: _load_split(args, s, train=True) for s in scenes}
+        if capacity is None:
+            capacity = max(len(db) for db in databases.values())
+    elif capacity is None:
+        raise SystemExit("--load-db with several scenes needs --capacity "
+                         "(array sizes are baked into the snapshot)")
+
+    ms = MultiSceneService(
+        model, model_vars, netvlad, nv_vars,
+        ServiceConfig(seq_len=args.seq_len, sampling_period=sp,
+                      retrieval_hw=rhw, deterministic=args.deterministic,
+                      capacity=capacity),
+        fold_bn=not args.no_fold_bn)
+
+    if args.load_db:
+        t0 = time.perf_counter()
+        ms.load_database(args.load_db)
+        print(f"databases restored from {args.load_db} "
+              f"({', '.join(ms.scenes())}; "
+              f"{time.perf_counter() - t0:.1f}s, no re-embedding)")
+    else:
+        for s in scenes:
+            db = databases[s]
+            print(f"[{s}] building database: {len(db)} frames "
+                  f"(capacity {capacity}) ...")
+            imgs = load_database_images(db, h, w)
+            mean, std = _scene_stats(args, s)
+            t0 = time.perf_counter()
+            ms.add_scene(s, imgs, db.poses, mean, std,
+                         batch=args.batch_size)
+            print(f"[{s}] built in {time.perf_counter() - t0:.1f}s")
+    if args.save_db:
+        ms.save_database(args.save_db)
+        print(f"databases saved to {args.save_db}")
+
+    from relpose_gnn_tpu.utils.profiling import trace
+    results = {}
+    with trace(args.trace_dir):
+        for s in scenes:
+            q = _load_split(args, s, train=False)
+            print(f"[{s}] serving {len(q)} queries (batch "
+                  f"{args.batch_size}) ...")
+            query_batches, src_indices = _make_query_batches(q, args, h, w)
+            t0 = time.perf_counter()
+            poses_out = [out["pose"] for out in ms.query_stream(
+                s, query_batches(), depth=args.pipeline_depth,
+                rng=jax.random.PRNGKey(args.seed))]
+            t_serve = time.perf_counter() - t0
+            poses_out = np.concatenate(poses_out)[:len(src_indices)]
+            print(f"[{s}] served {len(poses_out)} queries in "
+                  f"{t_serve:.2f}s "
+                  f"({len(poses_out) / max(t_serve, 1e-9):.0f} q/s)")
+            out_path = (f"{args.out.rsplit('.npz', 1)[0]}_{s}.npz"
+                        if args.out else None)
+            results[s] = _report_scene(args, q, poses_out, src_indices,
+                                       out_path)
+    # the proof line the single-executable contract is judged by
+    print(f"query program compiles: {ms.query_compiles()} "
+          f"(one shared executable across {len(scenes)} scenes)")
+    return results
 
 
 if __name__ == "__main__":

@@ -74,9 +74,49 @@ def _update_valid(valid: jax.Array, start: jax.Array,
 
 @partial(jax.jit, donate_argnums=(0,))
 def _gather_rows(buf: jax.Array, perm: jax.Array) -> jax.Array:
-    """Row permutation with the input donated (compaction must not
-    transiently double the 32768-wide descriptor table's HBM)."""
+    """Row permutation with the input donated.  XLA cannot alias the
+    input and output of a general row gather (rows are read after the
+    aliased slot would be overwritten), so compaction still allocates a
+    full-size destination transiently; donation frees the OLD table as
+    soon as the gather retires rather than at Python GC time.  If the
+    transient 2x footprint of the 32768-wide descriptor table ever
+    matters, replace with chunked in-place dynamic_update_slice sweeps."""
     return buf[perm]
+
+
+def _tombstone(valid: jax.Array, count: int, indices) -> jax.Array:
+    """Flip validity bits off for `indices` (shared by
+    RelocalizationService.invalidate_frames and MultiSceneService)."""
+    idx_np = np.asarray(indices, np.int64).reshape(-1)
+    # JAX scatter silently DROPS out-of-bounds updates — a stale or
+    # typo'd index would be a no-op and the bad frame would keep
+    # being served; fail loudly instead
+    if idx_np.size and (idx_np.min() < 0 or idx_np.max() >= count):
+        raise ValueError(
+            f"invalidate_frames indices out of range [0, {count}): "
+            f"{idx_np[(idx_np < 0) | (idx_np >= count)][:8]}")
+    return valid.at[jnp.asarray(idx_np)].set(False)
+
+
+def _compact(desc, emb, poses, valid, count):
+    """Stable front-compaction of a (desc, emb, poses, valid, count)
+    database (shared by RelocalizationService.compact_database and
+    MultiSceneService).  Returns the new arrays plus the int64 [M]
+    old_to_new slot map (-1 for tombstoned/padded slots)."""
+    valid_np = np.asarray(valid)
+    m = valid_np.shape[0]
+    n_valid = int(valid_np.sum())
+    old_to_new = np.cumsum(valid_np, dtype=np.int64) - 1
+    old_to_new[~valid_np] = -1
+    if n_valid == count and valid_np[:n_valid].all():
+        # already compact: no device work
+        return desc, emb, poses, valid, count, old_to_new
+    # stable: False (~valid=0 for valid rows) sorts first, original
+    # order preserved within each class
+    perm = jnp.asarray(np.argsort(~valid_np, kind="stable"))
+    return (_gather_rows(desc, perm), _gather_rows(emb, perm),
+            _gather_rows(poses, perm), jnp.asarray(np.arange(m) < n_valid),
+            n_valid, old_to_new)
 
 
 @dataclasses.dataclass
@@ -269,16 +309,7 @@ class RelocalizationService:
         the tombstones; works with or without `capacity` (without it
         compact + re-query is the only mutation available)."""
         assert self.db_valid is not None, "call build() first"
-        idx_np = np.asarray(indices, np.int64).reshape(-1)
-        # JAX scatter silently DROPS out-of-bounds updates — a stale or
-        # typo'd index would be a no-op and the bad frame would keep
-        # being served; fail loudly instead
-        if idx_np.size and (idx_np.min() < 0
-                            or idx_np.max() >= self.db_count):
-            raise ValueError(
-                f"invalidate_frames indices out of range [0, "
-                f"{self.db_count}): {idx_np[(idx_np < 0) | (idx_np >= self.db_count)][:8]}")
-        self.db_valid = self.db_valid.at[jnp.asarray(idx_np)].set(False)
+        self.db_valid = _tombstone(self.db_valid, self.db_count, indices)
 
     def compact_database(self) -> np.ndarray:
         """Reclaim tombstoned slots: permute the valid rows to the front
@@ -302,21 +333,10 @@ class RelocalizationService:
         indices renumbered through `old_to_new`) and bit-identical
         poses.  Tested both modes."""
         assert self.db_valid is not None, "call build() first"
-        valid = np.asarray(self.db_valid)
-        m = valid.shape[0]
-        n_valid = int(valid.sum())
-        old_to_new = np.cumsum(valid, dtype=np.int64) - 1
-        old_to_new[~valid] = -1
-        if n_valid == self.db_count and valid[:n_valid].all():
-            return old_to_new  # already compact: no device work
-        # stable: False (~valid=0 for valid rows) sorts first, original
-        # order preserved within each class
-        perm = jnp.asarray(np.argsort(~valid, kind="stable"))
-        self.db_desc = _gather_rows(self.db_desc, perm)
-        self.db_emb = _gather_rows(self.db_emb, perm)
-        self.db_poses = _gather_rows(self.db_poses, perm)
-        self.db_valid = jnp.asarray(np.arange(m) < n_valid)
-        self.db_count = n_valid
+        (self.db_desc, self.db_emb, self.db_poses, self.db_valid,
+         self.db_count, old_to_new) = _compact(
+            self.db_desc, self.db_emb, self.db_poses, self.db_valid,
+            self.db_count)
         return old_to_new
 
     # -- database persistence ------------------------------------------
@@ -391,9 +411,16 @@ class RelocalizationService:
             # from a traced-in constant to a runtime ARGUMENT — the one
             # per-scene constant this program otherwise bakes in, and
             # what lets MultiSceneService share a single executable
-            # across scenes (evaluation/multiscene.py)
+            # across scenes (evaluation/multiscene.py).  The runtime form
+            # is (x - mean) * (1/std), NOT (x - mean) / std: XLA rewrites
+            # division by a traced CONSTANT into a reciprocal multiply,
+            # so only the explicit reciprocal-multiply is bit-identical
+            # to what a `(x - mean) / std` model_norm closure compiles to
+            # (measured on CPU+TPU; tests/test_multiscene.py asserts the
+            # bit-match per scene)
             query_model_in = (model_norm(query01) if norm_ms is None
-                              else (query01 - norm_ms[0]) / norm_ms[1])
+                              else (query01 - norm_ms[0])
+                              * (1.0 / norm_ms[1]))
             b = query01.shape[0]
             # 1. retrieval descriptor + similarities (one matmul)
             q_desc = self.netvlad.apply(netvlad_vars,
@@ -462,13 +489,27 @@ class RelocalizationService:
 
         `norm_ms=(mean, std)` passes the scene normalization as runtime
         arrays instead of the traced-in `model_norm` callable (which is
-        then ignored — pass None): same formula `(x - mean) / std`, but
-        the compiled program becomes scene-independent
-        (MultiSceneService's executable-sharing contract).
+        then ignored — pass None): applied as `(x - mean) * (1/std)`,
+        which is bit-identical to what a traced `(x - mean) / std`
+        closure compiles to (tests/test_multiscene.py), and the compiled
+        program becomes scene-independent (MultiSceneService's
+        executable-sharing contract).
 
         Returns {'pose' [B, 6] pose6, 'neighbors' [B, K], 'anchor' [B]}.
         """
         assert self.db_desc is not None, "call build() first"
+        return self.query_with_db(
+            (self.db_desc, self.db_emb, self.db_poses, self.db_valid),
+            query_images01, model_norm, rng, norm_ms)
+
+    def query_with_db(self, db: tuple, query_images01, model_norm,
+                      rng: jax.Array | None = None, norm_ms=None) -> dict:
+        """Run the shared jitted query program against EXPLICIT database
+        arrays `db = (desc [M, Dv], emb [M, D], poses [M, 6], valid [M])`
+        instead of this service's own — the MultiSceneService hook
+        (evaluation/multiscene.py): every scene whose arrays share M hits
+        the same compiled executable.  Same contract as `query` otherwise
+        (uint8 accepted; norm_ms switches to runtime normalization)."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         q = jnp.asarray(query_images01)  # uint8 rides the thin transfer
         if q.dtype == jnp.uint8:
@@ -478,10 +519,14 @@ class RelocalizationService:
             # callers don't pay a second full-model compile
             q = _to_float01(q)
         return self._query_fn(None if norm_ms is not None else model_norm,
-                              self.model_vars,
-                              self.netvlad_vars, self.db_desc, self.db_emb,
-                              self.db_poses, self.db_valid, q, rng,
-                              norm_ms)
+                              self.model_vars, self.netvlad_vars,
+                              db[0], db[1], db[2], db[3], q, rng, norm_ms)
+
+    def query_compiles(self) -> int:
+        """Number of DISTINCT compiled query programs this service has
+        produced (jit cache entries).  MultiSceneService's single-
+        executable contract is asserted against this."""
+        return self._query_fn._cache_size()
 
     def query_stream(self, batches, model_norm, depth: int = 2,
                      rng: jax.Array | None = None, norm_ms=None):

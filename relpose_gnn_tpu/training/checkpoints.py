@@ -76,13 +76,24 @@ def load_torch_weights(state, pth_path: str, stage_sizes=(3, 4, 6, 3)):
     sd = tconvert.load_torch_state_dict(pth_path)
     params, batch_stats = tconvert.convert_relpose_gnn(sd, stage_sizes)
 
-    def _merge(dst, src):
-        """Copy src leaves into dst tree (dst defines the full structure)."""
+    def _merge(dst, src, path=""):
+        """Copy src leaves into dst tree (dst defines the full structure).
+        Shapes must agree: a released checkpoint whose dims mismatch the
+        built model (wrong --model-name/--feat-dim) silently merging and
+        producing garbage medians is the worst failure mode, so check
+        every leaf (tests/test_ckpt_schema.py)."""
         out = dict(dst)
         for k, v in src.items():
             if isinstance(v, dict) and k in out and isinstance(out[k], dict):
-                out[k] = _merge(out[k], v)
+                out[k] = _merge(out[k], v, f"{path}{k}/")
             else:
+                if k in out and hasattr(out[k], "shape") \
+                        and hasattr(v, "shape") and out[k].shape != v.shape:
+                    raise ValueError(
+                        f"checkpoint shape mismatch at {path}{k}: model "
+                        f"has {out[k].shape}, checkpoint has {v.shape} — "
+                        "the checkpoint was trained under a different "
+                        "model config")
                 out[k] = jax.tree.map(
                     lambda s: np.asarray(s, np.float32), v)
         return out

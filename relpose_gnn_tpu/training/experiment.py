@@ -490,10 +490,6 @@ def run_eval(cfg: ExperimentConfig, weights: str | None = None,
 
     eval_step = make_eval_step(ref_node=0, fuse=cfg.eval_fuse,
                                static_anchor=static_anchor_for(cfg))
-    if cfg.eval_fuse != "first" and serving_data_path is not None:
-        # the cached-serving branch recovers with the anchor rule only
-        raise ValueError("eval_fuse != 'first' is not supported on the "
-                         "cached-serving path; drop serving_data_path")
     mean_t, std_t = pose_stats(cfg)
 
     # optional multi-chip eval: params replicated, batch sharded over
@@ -611,6 +607,7 @@ def _evaluate_scene_serving(cfg: ExperimentConfig, model, state, ds,
         model = _RPG(_dc.replace(model.cfg, compact_edges=True))
     out = evaluate_scene_cached(model, variables, ds, imgs,
                                 batch_size=cfg.batch_size, mesh=mesh,
-                                static_anchor=static_anchor_for(cfg))
+                                static_anchor=static_anchor_for(cfg),
+                                fuse=cfg.eval_fuse)
     return compute_pose_errors(out["pred"], out["target"],
                                pose_mean=mean_t, pose_std=std_t)

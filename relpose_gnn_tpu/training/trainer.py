@@ -174,6 +174,34 @@ def make_train_step(cfg: TrainerConfig):
     return train_step
 
 
+def fuse_pose_estimates(est: jax.Array, mask: jax.Array,
+                        fuse: str) -> jax.Array:
+    """Fuse the per-source absolute-pose estimates for one query node:
+    `est [B, N, 6]` (estimate from each potential source node), masked by
+    `mask [B, N]` (True where an edge source -> query exists).
+
+    fuse='mean' is the masked mean; for this model's vector-difference
+    relative-pose convention a pose-graph least-squares over the star
+    graph with fixed neighbor poses reduces in closed form to exactly
+    this mean, so it is the PGO-optimal fusion (see make_eval_step's
+    docstring).  fuse='median' is the masked per-dimension median.
+    Shared by the full-pixel eval step and the cached-serving step
+    (evaluation/serving.py) so both paths fuse identically."""
+    if fuse == "mean":
+        w = mask.astype(est.dtype)[..., None]
+        return jnp.sum(est * w, 1) / jnp.maximum(jnp.sum(w, 1), 1.0)
+    assert fuse == "median", fuse
+    # masked median per dim: sort with +inf fill
+    big = jnp.where(mask[..., None], est, jnp.inf)
+    srt = jnp.sort(big, axis=1)
+    cnt = jnp.sum(mask, axis=1)                     # [B]
+    lo = jnp.clip((cnt - 1) // 2, 0, est.shape[1] - 1)
+    hi = jnp.clip(cnt // 2, 0, est.shape[1] - 1)
+    take = lambda k: jnp.take_along_axis(  # noqa: E731
+        srt, k[:, None, None].repeat(6, 2), axis=1)[:, 0]
+    return 0.5 * (take(lo) + take(hi))
+
+
 def make_eval_step(ref_node: int = 0, fuse: str = "first",
                    static_anchor: int | None = None):
     """Build the jitted batched eval step.
@@ -224,19 +252,7 @@ def make_eval_step(ref_node: int = 0, fuse: str = "first",
             # all estimates poses[s] - RP[s, ref] over incoming edges
             est = batch["poses"] - pred_rel[:, :, ref_node]     # [B, N, 6]
             mask = adj[:, :, ref_node]                          # [B, N]
-            if fuse == "mean":
-                w = mask.astype(est.dtype)[..., None]
-                pred_query = jnp.sum(est * w, 1) / jnp.maximum(
-                    jnp.sum(w, 1), 1.0)
-            else:  # masked median per dim: sort with +inf fill
-                big = jnp.where(mask[..., None], est, jnp.inf)
-                srt = jnp.sort(big, axis=1)
-                cnt = jnp.sum(mask, axis=1)                     # [B]
-                lo = jnp.clip((cnt - 1) // 2, 0, est.shape[1] - 1)
-                hi = jnp.clip(cnt // 2, 0, est.shape[1] - 1)
-                take = lambda k: jnp.take_along_axis(  # noqa: E731
-                    srt, k[:, None, None].repeat(6, 2), axis=1)[:, 0]
-                pred_query = 0.5 * (take(lo) + take(hi))
+            pred_query = fuse_pose_estimates(est, mask, fuse)
         target_query = batch["poses"][:, ref_node]
         return {"pred": pred_query, "target": target_query,
                 "pred_abs": pred_abs[:, ref_node], "nbr": nbr}

@@ -37,3 +37,32 @@ class TestServeCLI:
         # unit quaternions in the export
         np.testing.assert_allclose(
             np.linalg.norm(z["abs_q"], axis=1), 1.0, atol=1e-5)
+
+    def test_multiscene_single_compile(self, tmp_path, capsys):
+        """Several scenes serve through ONE compiled query executable
+        (MultiSceneService): the CLI's proof line must report exactly
+        one compile, and every scene gets its own error report + npz."""
+        raw = str(tmp_path / "raw")
+        for scene in ("chess", "fire"):
+            write_7scenes_fixture(raw, scene=scene, n_seqs=2, n_frames=4,
+                                  train=True, size=(40, 32))
+            write_7scenes_fixture(raw, scene=scene, n_seqs=1, n_frames=4,
+                                  train=False, size=(40, 32))
+        out = str(tmp_path / "poses.npz")
+        results = serve.main([
+            "--dataset", "7Scenes", "--scene", "chess", "fire",
+            "--data-path", raw, "--seq-len", "4",
+            "--image-size", "32", "--batch-size", "4",
+            "--backbone", "resnet18", "--feat-dim", "32",
+            "--dtype", "float32", "--retrieval-hw", "24", "32",
+            "--netvlad-clusters", "4", "--deterministic",
+            "--out", out])
+        printed = capsys.readouterr().out
+        assert ("query program compiles: 1 (one shared executable "
+                "across 2 scenes)") in printed
+        assert sorted(results) == ["chess", "fire"]
+        for scene in ("chess", "fire"):
+            err = results[scene]
+            assert np.isfinite(err.median_t) and np.isfinite(err.median_q)
+            z = np.load(str(tmp_path / f"poses_{scene}.npz"))
+            assert z["pose6"].shape[1] == 6 and len(z["pose6"]) > 0

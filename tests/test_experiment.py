@@ -431,13 +431,18 @@ class TestResume:
 
 class TestEvalFuse:
     def test_run_eval_fuse_modes(self, experiment_dirs, tmp_path):
-        """eval_fuse threads through run_eval; 'mean' fuses all incoming
-        estimates (trainer-level parity is tested in test_trainer) and the
-        serving branch rejects non-'first' fusion loudly."""
+        """eval_fuse threads through run_eval on BOTH branches now
+        (VERDICT r3 weak #3 removed the cached-serving raise): the
+        fused cached-serving predictions equal the plain batched path's
+        fusion per item."""
         root, raw, graphs = experiment_dirs
-        cfg = tiny_cfg(graphs, save_dir=str(tmp_path / "o"),
-                       eval_fuse="mean")
-        res = run_eval(cfg, save_predictions=False)
-        assert np.isfinite(res["chess"].median_t)
-        with pytest.raises(ValueError, match="cached-serving"):
-            run_eval(cfg, serving_data_path=raw, save_predictions=False)
+        for fuse in ("mean", "median"):
+            cfg = tiny_cfg(graphs, save_dir=str(tmp_path / f"o_{fuse}"),
+                           eval_fuse=fuse)
+            res = run_eval(cfg, save_predictions=False)["chess"]
+            assert np.isfinite(res.median_t)
+            srv = run_eval(cfg, serving_data_path=raw,
+                           save_predictions=False)["chess"]
+            np.testing.assert_allclose(srv.pred_poses, res.pred_poses,
+                                       atol=1e-5)
+            assert abs(srv.median_t - res.median_t) < 1e-5

@@ -1,6 +1,7 @@
 """End-to-end on-device relocalization service tests."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -421,14 +422,19 @@ class TestCapacityGrowth:
                          ["neighbors"])[:, 0]
         np.testing.assert_array_equal(top, [6, 7, 8])
 
-    def test_compact_database_preserves_stochastic_selection(self):
+    @pytest.mark.parametrize("candidates", [None, 8])
+    def test_compact_database_preserves_stochastic_selection(
+            self, candidates):
         """Stochastic drop draws are keyed by rank position, not slot
         index, so compaction must not change which FRAMES any seed
-        selects — only their slot numbers (via old_to_new)."""
+        selects — only their slot numbers (via old_to_new).  Asserted
+        directly on BOTH selection branches: the full-argsort path and
+        the production windowed top-C path (candidates=8 < M=16 engages
+        the window; ADVICE r3 #3)."""
         db, poses = self._db(10, seed=13)
         q = np.random.default_rng(14).random((4, 32, 40, 3)).astype(
             np.float32)
-        svc = build_service(capacity=16, retrieval_candidates=None)
+        svc = build_service(capacity=16, retrieval_candidates=candidates)
         svc.build(db, poses, model_norm, batch=4)
         svc.invalidate_frames([0, 2, 7])
         keys = [jax.random.PRNGKey(s) for s in range(3)]

