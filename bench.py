@@ -69,25 +69,7 @@ enable_compile_cache()
 # sheets).  Exact match only: a silent startswith/default fallback made MFU
 # quietly wrong on unlisted hardware (ADVICE r2 #1) — unknown kinds now
 # report mfu=null with a stderr warning instead.
-_PEAK_BF16 = {
-    "TPU v5 lite": 197e12,   # v5e
-    "TPU v5e": 197e12,
-    "TPU v5": 459e12,        # v5p
-    "TPU v5p": 459e12,
-    "TPU v4": 275e12,
-    "TPU v6 lite": 918e12,   # v6e / Trillium
-    "TPU v6e": 918e12,
-}
-
-
-def chip_peak_flops() -> float | None:
-    kind = jax.devices()[0].device_kind
-    peak = _PEAK_BF16.get(kind)
-    if peak is None:
-        import sys
-        print(f"bench: unknown device kind {kind!r}; reporting mfu=null",
-              file=sys.stderr)
-    return peak
+from benchmarks._util import chip_peak_flops  # noqa: E402  (one copy)
 
 
 def measure_rtt() -> float:

@@ -21,6 +21,43 @@ def enable_compile_cache(path: str = "/tmp/jaxcache") -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+# chip dense-bf16 peaks for MFU (public spec sheets).  Exact match only:
+# a silent startswith/default fallback made MFU quietly wrong on an
+# unexpected device kind once — report None and let callers print
+# mfu=null with a warning instead.
+PEAK_BF16 = {
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,        # v5p
+    "TPU v5p": 459e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,   # v6e / Trillium
+    "TPU v6e": 918e12,
+}
+
+
+def chip_peak_flops() -> float | None:
+    kind = jax.devices()[0].device_kind
+    peak = PEAK_BF16.get(kind)
+    if peak is None:
+        import sys
+        print(f"bench: unknown device kind {kind!r}; reporting mfu=null",
+              file=sys.stderr)
+    return peak
+
+
+def compiled_flops(compiled) -> float:
+    """FLOPs of an AOT-compiled executable from XLA cost analysis (0.0
+    when the backend exposes none)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
 def bench(f, *a, iters: int = 40, warm: int = 3) -> float:
     """Time `f(*a, salt)` -> ms per iteration, tunnel-safely.
 

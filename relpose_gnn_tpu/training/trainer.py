@@ -106,9 +106,16 @@ def make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
 
 def create_train_state(rng: jax.Array, model: RelPoseGNN, cfg: TrainerConfig,
                        sample_images: jax.Array,
-                       sample_adj: jax.Array) -> TrainState:
-    variables = model.init({"params": rng, "dropout": rng},
-                           sample_images, sample_adj, train=False)
+                       sample_adj: jax.Array,
+                       variables=None) -> TrainState:
+    """Pass `variables` to skip the eager `model.init` — through the TPU
+    tunnel eager init dispatches one tiny op per param initializer at
+    ~30 ms RTT each (~95 s for ResNet34); tunnel-side callers should
+    `jax.jit(lambda k: model.init(...))(key)` and hand the result in
+    (benchmarks/bench_train.py does)."""
+    if variables is None:
+        variables = model.init({"params": rng, "dropout": rng},
+                               sample_images, sample_adj, train=False)
     params = {"model": variables["params"],
               "criterion": crit.init_criterion_params(cfg.sax, cfg.saq),
               "criterion_R": crit.init_criterion_params(cfg.srx, cfg.srq)}
