@@ -52,6 +52,15 @@ def main():
     ap.add_argument("--skip-host-legs", action="store_true",
                     help="device-resident leg only (skips the uint8 "
                          "program compile + slow tunnel uploads)")
+    ap.add_argument("--synth-db", action="store_true",
+                    help="synthesize the database DIRECTLY ON DEVICE "
+                         "(random f32 descriptors / bf16 embeddings / "
+                         "poses) instead of embedding uploaded pixels: "
+                         "the query program reads only these arrays, so "
+                         "q/s is identical, and a production-size --db "
+                         "stops paying the tunnel's ~15-25 MB/s pixel "
+                         "upload (db=4096 float32 is ~4.3 GB of upload "
+                         "otherwise) plus the embed-program compile")
     ap.add_argument("--retrieval-hw", type=int, nargs=2, default=(192, 256),
                     help="NetVLAD input size A/B: the VGG16 trunk is 63%% "
                          "of the full query step (bench_service_bisect) "
@@ -90,10 +99,27 @@ def main():
 
     m = args.db  # database frames (tunnel uploads are slow)
     rng = np.random.default_rng(0)
-    print("building database...", flush=True)
-    svc.build(rng.random((m, h, w, 3)).astype(np.float32),
-              rng.normal(size=(m, 6)).astype(np.float32), model_norm,
-              batch=32)
+    if args.synth_db:
+        # shapes/dtypes exactly as build() leaves them (f32 descriptors:
+        # NetVLAD casts before its norms — a bf16 table would time a sim
+        # matmul production never runs)
+        print("synthesizing database on device...", flush=True)
+        kd, ke, kp = jax.random.split(jax.random.PRNGKey(2), 3)
+        feat = svc.model.cfg.feat_dim
+        svc.db_desc = jax.jit(lambda k: jax.random.normal(
+            k, (m, 32768), jnp.float32))(kd)
+        svc.db_emb = jax.jit(lambda k: jax.random.normal(
+            k, (m, feat), jnp.bfloat16))(ke)
+        svc.db_poses = jax.jit(lambda k: jax.random.normal(
+            k, (m, 6), jnp.float32))(kp)
+        svc.db_valid = jnp.ones((m,), bool)
+        svc.db_count = m
+        jax.block_until_ready((svc.db_desc, svc.db_emb, svc.db_poses))
+    else:
+        print("building database...", flush=True)
+        svc.build(rng.random((m, h, w, 3)).astype(np.float32),
+                  rng.normal(size=(m, 6)).astype(np.float32), model_norm,
+                  batch=32)
 
     batch = args.batch
     key = jax.random.PRNGKey(7)
