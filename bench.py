@@ -107,13 +107,35 @@ def main():
                          "instead of all 64 ordered pairs; exact — "
                          "models/gnn.py). Default: on")
     ap.add_argument("--no-compact", dest="compact", action="store_false")
+    ap.add_argument("--model-name", default="R3",
+                    help="config preset: R3 (flagship, the driver's "
+                         "default) or the stretch configs R3-vit / R3-32 "
+                         "(BASELINE.json configs[4-5]; measured lines in "
+                         "DESIGN.md)")
+    ap.add_argument("--skip-baseline", action="store_true",
+                    help="skip the two bs=1 reference-protocol legs "
+                         "(their compiles are ~60-90 s each through the "
+                         "tunnel); vs_baseline fields print as null. "
+                         "For stretch-config rows where only absolute "
+                         "q/s + MFU are reported")
+    ap.add_argument("--compile-only", action="store_true",
+                    help="populate the persistent compile cache and exit "
+                         "before the timed loop (cold full-model compiles "
+                         "are ~minutes through the tunnel; run once with "
+                         "this, then time in a second invocation that "
+                         "stays comfortably inside its timeout)")
     args = ap.parse_args()
 
     from relpose_gnn_tpu.models.posenet import RelPoseGNN, RelPoseGNNConfig
     from relpose_gnn_tpu.ops import graph as graph_ops
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    cfg = RelPoseGNNConfig.preset("R3", num_nodes=args.nodes, dtype=dtype)
+    if args.model_name == "R3-32":
+        args.nodes = 32  # the preset IS the 32-node graph
+        cfg = RelPoseGNNConfig.preset(args.model_name, dtype=dtype)
+    else:
+        cfg = RelPoseGNNConfig.preset(args.model_name,
+                                      num_nodes=args.nodes, dtype=dtype)
     model = RelPoseGNN(cfg)
 
     n, h, w = args.nodes, args.height, args.width
@@ -157,11 +179,14 @@ def main():
     # all 8 node images re-encoded per query); the salt makes every
     # query's pixels distinct -------------------------------------------
     np.asarray(eval_fn(variables, img1, adj1, poses1, 0.0)[0])  # compile
-    t0 = time.perf_counter()
-    for i in range(args.baseline_iters):
-        np.asarray(eval_fn(variables, img1, adj1, poses1, float(i + 1))[0])
-    dt_base = time.perf_counter() - t0
-    qps_ref_protocol = args.baseline_iters / dt_base
+    qps_ref_protocol = None
+    if not args.skip_baseline:
+        t0 = time.perf_counter()
+        for i in range(args.baseline_iters):
+            np.asarray(eval_fn(variables, img1, adj1, poses1,
+                               float(i + 1))[0])
+        dt_base = time.perf_counter() - t0
+        qps_ref_protocol = args.baseline_iters / dt_base
 
     # directly-attached estimate: the per-query host sync above inherits
     # the tunnel RTT, so ALSO measure the bs=1 program's pure device time
@@ -175,20 +200,21 @@ def main():
     # time.  Salt still derives per-iteration inputs inside the loop body
     # (cache-proof), and the accumulated sum forces every iteration.
     local_iters = max(args.baseline_iters, 200)
+    qps_ref_local = None
+    if not args.skip_baseline:
+        @jax.jit
+        def chained_bs1(variables, img1, adj1, poses1, base):
+            def body(i, acc):
+                pred, _ = _eval_core(variables, img1, adj1, poses1,
+                                     base + jnp.float32(i))
+                return acc + jnp.sum(pred)
+            return jax.lax.fori_loop(0, local_iters, body, jnp.float32(0.0))
 
-    @jax.jit
-    def chained_bs1(variables, img1, adj1, poses1, base):
-        def body(i, acc):
-            pred, _ = _eval_core(variables, img1, adj1, poses1,
-                                 base + jnp.float32(i))
-            return acc + jnp.sum(pred)
-        return jax.lax.fori_loop(0, local_iters, body, jnp.float32(0.0))
-
-    float(chained_bs1(variables, img1, adj1, poses1, jnp.float32(90.0)))
-    t0 = time.perf_counter()
-    float(chained_bs1(variables, img1, adj1, poses1, jnp.float32(500.0)))
-    dt_base_local = max(time.perf_counter() - t0 - rtt, 1e-9)
-    qps_ref_local = local_iters / dt_base_local
+        float(chained_bs1(variables, img1, adj1, poses1, jnp.float32(90.0)))
+        t0 = time.perf_counter()
+        float(chained_bs1(variables, img1, adj1, poses1, jnp.float32(500.0)))
+        dt_base_local = max(time.perf_counter() - t0 - rtt, 1e-9)
+        qps_ref_local = local_iters / dt_base_local
 
     # --- measured leg: batched serving with cached neighbor embeddings
     # and the BN-folded backbone (models/fold_bn.py; ~2.5x measured) -------
@@ -199,8 +225,12 @@ def main():
     # (benchmarks/bench_s2d.py) but loses ~4.5% inside this composed
     # serving step (measured A/B here: 6926 vs 6620 q/s) — default off;
     # models/fold_bn.py::space_to_depth_conv1 documents both tables
-    fcfg, fvars = fold_relpose_backbone(cfg, variables,
-                                        s2d_stem=args.s2d)
+    if cfg.backbone.startswith("resnet"):
+        fcfg, fvars = fold_relpose_backbone(cfg, variables,
+                                            s2d_stem=args.s2d)
+    else:
+        # ViT backbone: no BN to fold (LayerNorm serves as-is)
+        fcfg, fvars = cfg, variables
     if args.compact is not False:
         # compact edge-list GNN: exact (tests/test_compact_gnn.py), halves
         # the pair/attention work at the kNN serving graph; measured
@@ -263,6 +293,12 @@ def main():
     except Exception:
         step_flops = 0.0
 
+    if args.compile_only:
+        print(json.dumps({"compile_only": True,
+                          "step_gflops": round(step_flops / 1e9, 2),
+                          "device": jax.devices()[0].device_kind}))
+        return
+
     def run_step(salt):
         return compiled(fvars, q_base, emb, nbr_poses, adj,
                         jnp.float32(salt))
@@ -312,11 +348,14 @@ def main():
         "metric": "relocalization queries/sec/chip",
         "value": round(qps, 2),
         "unit": "queries/s",
-        "vs_baseline": round(qps / qps_ref_local, 2),
-        "vs_baseline_tunnel_rtt": round(qps / qps_ref_protocol, 2),
+        "vs_baseline": (round(qps / qps_ref_local, 2)
+                        if qps_ref_local else None),
+        "vs_baseline_tunnel_rtt": (round(qps / qps_ref_protocol, 2)
+                                   if qps_ref_protocol else None),
         "mfu": round(mfu, 4) if mfu is not None else None,
         "step_gflops": round(step_flops / 1e9, 2),
         "peak_hbm_gib": peak_hbm_gib,
+        "model": args.model_name,
         "device": jax.devices()[0].device_kind,
     }))
 

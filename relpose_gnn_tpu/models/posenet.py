@@ -91,6 +91,15 @@ class RelPoseGNNConfig:
                        num_gnn_layers=1, gnn_recursion=2),
             "R3": dict(feat_dim=2048, edge_dim=2048, node_dim=2048,
                        num_gnn_layers=1, gnn_recursion=2),
+            # stretch configs (BASELINE.json configs[4-5], no reference
+            # equivalent): R3 with a ViT-B/16 node encoder / 32-node
+            # graphs.  Overrides win over the base dict as usual.
+            "R3-vit": dict(feat_dim=2048, edge_dim=2048, node_dim=2048,
+                           num_gnn_layers=1, gnn_recursion=2,
+                           backbone="vit"),
+            "R3-32": dict(feat_dim=2048, edge_dim=2048, node_dim=2048,
+                          num_gnn_layers=1, gnn_recursion=2,
+                          num_nodes=32),
         }[name]
         base.update(overrides)
         return cls(**base)

@@ -37,6 +37,19 @@ class TestZoo:
         assert pa.shape == (1, 32, 6) and pr.shape == (1, 32, 32, 6)
         assert np.asarray(a).sum(axis=1).max() == 4  # knn incoming
 
+    def test_stretch_presets(self):
+        """RelPoseGNNConfig.preset knows the stretch names (the bench
+        harnesses construct through preset(), not the zoo registry):
+        R3-vit = R3 dims with the ViT-B/16 node encoder, R3-32 = R3 dims
+        on 32-node graphs (BASELINE.json configs[4-5])."""
+        from relpose_gnn_tpu.models.posenet import RelPoseGNNConfig
+        c = RelPoseGNNConfig.preset("R3-vit", num_nodes=8)
+        assert c.backbone == "vit" and c.feat_dim == 2048
+        assert c.num_nodes == 8
+        c = RelPoseGNNConfig.preset("R3-32")
+        assert c.num_nodes == 32 and c.backbone == "resnet34"
+        assert (c.feat_dim, c.edge_dim, c.node_dim) == (2048,) * 3
+
     def test_vit_stretch_backbone(self):
         m = build_model("r3-vit", feat_dim=32, edge_dim=32, node_dim=32,
                         num_nodes=4, knn=2)
