@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import FrozenDict
+from flax.core import unfreeze
 
 from relpose_gnn_tpu.models.posenet import RelPoseGNN
 from relpose_gnn_tpu.ops import graph as graph_ops
@@ -119,7 +119,11 @@ def create_train_state(rng: jax.Array, model: RelPoseGNN, cfg: TrainerConfig,
     params = {"model": variables["params"],
               "criterion": crit.init_criterion_params(cfg.sax, cfg.saq),
               "criterion_R": crit.init_criterion_params(cfg.srx, cfg.srq)}
-    batch_stats = variables.get("batch_stats", FrozenDict())
+    # model.apply(..., mutable=['batch_stats']) returns a PLAIN dict, so
+    # the state must hold one too or its pytree TYPE flips after the first
+    # step — which breaks AOT-compiled executables (pytree mismatch) for
+    # BN-free backbones (ViT preset) where the default branch is taken.
+    batch_stats = unfreeze(variables.get("batch_stats", {}))
     tx = make_optimizer(cfg)
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       batch_stats=batch_stats,

@@ -213,6 +213,48 @@ class TestFusedEval:
         np.testing.assert_allclose(np.asarray(out["pred"]), want, atol=1e-5)
 
 
+class TestBNFreeTrainState:
+    """create_train_state must hold batch_stats as the SAME pytree type
+    model.apply(mutable=['batch_stats']) returns (a plain dict): the old
+    FrozenDict() default meant a BN-free backbone (the ViT preset) flipped
+    the state's pytree TYPE after step 1, so AOT-compiled executables
+    (benchmarks/bench_train.py's .lower().compile() pattern) rejected the
+    step-2 state with a pytree TypeError.  jit hides this by retracing."""
+
+    def test_aot_train_step_survives_bn_free_state(self):
+        import flax.linen as nn
+
+        class BNFree(nn.Module):
+            @nn.compact
+            def __call__(self, images, adj, train=False):
+                b, n = images.shape[:2]
+                f = nn.Dense(8)(images.reshape(b, n, -1))
+                f = nn.Dropout(0.1, deterministic=not train)(f)
+                pred_abs = nn.Dense(6)(f)
+                pred_rel = (pred_abs[:, :, None, :]
+                            - pred_abs[:, None, :, :])
+                return pred_abs, pred_rel, adj, {"node_feats": f}
+
+        model = BNFree()
+        tcfg = TrainerConfig(steps_per_epoch=10)
+        batch = tiny_batch()
+        variables = model.init({"params": jax.random.PRNGKey(0)},
+                               batch["images"][:1], batch["adj"][:1],
+                               train=False)
+        assert "batch_stats" not in variables  # genuinely BN-free
+        state = create_train_state(jax.random.PRNGKey(0), model, tcfg,
+                                   batch["images"][:1], batch["adj"][:1],
+                                   variables=variables)
+        step = make_train_step(tcfg)
+        rng = jax.random.PRNGKey(1)
+        compiled = step.lower(state, batch, rng).compile()
+        state, _ = compiled(state, batch, rng)
+        # pre-fix this second call raised: batch_stats FrozenDict -> dict
+        state, m = compiled(state, batch, rng)
+        assert np.isfinite(float(m["loss"]))
+        assert int(state.step) == 2
+
+
 class TestGradAccum:
     def test_params_update_every_k_steps(self):
         model = tiny_model(knn=0)
