@@ -94,7 +94,10 @@ def main():
     ap.add_argument("--baseline-iters", type=int, default=20)
     ap.add_argument("--height", type=int, default=256)
     ap.add_argument("--width", type=int, default=341)
-    ap.add_argument("--nodes", type=int, default=8)
+    ap.add_argument("--nodes", type=int, default=None,
+                    help="graph size; default: the preset's (8, or 32 "
+                         "for R3-32).  An explicit value wins over any "
+                         "preset")
     ap.add_argument("--dtype", type=str, default="bfloat16",
                     choices=("bfloat16", "float32"))
     ap.add_argument("--s2d", action="store_true",
@@ -113,9 +116,12 @@ def main():
                          "(BASELINE.json configs[4-5]; measured lines in "
                          "DESIGN.md)")
     ap.add_argument("--skip-baseline", action="store_true",
-                    help="skip the two bs=1 reference-protocol legs "
-                         "(their compiles are ~60-90 s each through the "
-                         "tunnel); vs_baseline fields print as null. "
+                    help="skip the two bs=1 reference-protocol TIMED legs "
+                         "(and the chained-loop compile); vs_baseline "
+                         "fields print as null.  NOTE: the bs=1 full-"
+                         "pixel program still compiles — the cached-path "
+                         "self-check needs it — so a cold cache still "
+                         "pays that compile; use --compile-only first. "
                          "For stretch-config rows where only absolute "
                          "q/s + MFU are reported")
     ap.add_argument("--compile-only", action="store_true",
@@ -130,15 +136,13 @@ def main():
     from relpose_gnn_tpu.ops import graph as graph_ops
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    if args.model_name == "R3-32":
-        args.nodes = 32  # the preset IS the 32-node graph
-        cfg = RelPoseGNNConfig.preset(args.model_name, dtype=dtype)
-    else:
-        cfg = RelPoseGNNConfig.preset(args.model_name,
-                                      num_nodes=args.nodes, dtype=dtype)
+    overrides = dict(dtype=dtype)
+    if args.nodes is not None:  # explicit --nodes wins over any preset
+        overrides["num_nodes"] = args.nodes
+    cfg = RelPoseGNNConfig.preset(args.model_name, **overrides)
     model = RelPoseGNN(cfg)
 
-    n, h, w = args.nodes, args.height, args.width
+    n, h, w = cfg.num_nodes, args.height, args.width
 
     def _eval_core(variables, images, adj, poses, salt):
         # `salt` makes every execution's inputs distinct (fused multiply,
@@ -285,13 +289,8 @@ def main():
     # FLOP count would pay a second ~80 s tunnel compile)
     compiled = timed_step.lower(fvars, q_base, emb, nbr_poses, adj,
                                 jnp.float32(0.0)).compile()
-    try:
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        step_flops = float(ca.get("flops", 0.0))
-    except Exception:
-        step_flops = 0.0
+    from benchmarks._util import compiled_flops
+    step_flops = compiled_flops(compiled)
 
     if args.compile_only:
         print(json.dumps({"compile_only": True,

@@ -162,9 +162,13 @@ def _make_query_batches(q, args, h: int, w: int):
             for j in range(n):
                 src, img = _load_skip_forward(i + j)
                 src_indices.append(src)
-                batch[j] = np.round(
-                    np.clip(_fit(img, h, w), 0, 1) * 255
-                ).astype(np.uint8)
+                # same quantization rule as the packed stores and the
+                # database loader (floor(x*255 + 0.5): data/packed.py,
+                # training/experiment.py::load_database_images) —
+                # np.round's half-to-even would differ by 1 LSB at
+                # exact halves
+                batch[j] = np.clip(_fit(img, h, w) * 255.0 + 0.5,
+                                   0, 255).astype(np.uint8)
             batch[n:] = batch[n - 1]  # static-shape tail padding
             yield batch
 
@@ -364,6 +368,13 @@ def _serve_multiscene(args, model, model_vars, netvlad, nv_vars,
     if args.load_db:
         t0 = time.perf_counter()
         ms.load_database(args.load_db)
+        missing = [s for s in scenes if s not in ms.scenes()]
+        if missing:
+            # fail BEFORE serving: a KeyError mid-run would throw away
+            # every earlier scene's served results
+            raise SystemExit(
+                f"--load-db snapshot {args.load_db} has no database for "
+                f"scene(s) {missing}; it holds {ms.scenes()}")
         print(f"databases restored from {args.load_db} "
               f"({', '.join(ms.scenes())}; "
               f"{time.perf_counter() - t0:.1f}s, no re-embedding)")

@@ -41,6 +41,8 @@ import jax.numpy as jnp
 from relpose_gnn_tpu.models.posenet import RelPoseGNN
 from relpose_gnn_tpu.evaluation.service import (RelocalizationService,
                                                 ServiceConfig, _compact,
+                                                _grow_rows,
+                                                _pipelined_stream,
                                                 _to_float01, _tombstone,
                                                 _update_rows, _update_valid)
 
@@ -144,12 +146,25 @@ class MultiSceneService:
             emb=jnp.pad(emb, ((0, pad), (0, 0))),
             poses=jnp.pad(poses, ((0, pad), (0, 0))),
             valid=jnp.arange(cap) < m, count=m, norm_ms=norm_ms)
+        # build is an offline operation: block so callers' wall-clock
+        # build timing is honest on async-dispatch backends (the tunnel
+        # returns from the last embed launch long before it executes)
+        jax.block_until_ready(self._scenes[name].desc)
+
+    def _db(self, scene: str) -> SceneDatabase:
+        try:
+            return self._scenes[scene]
+        except KeyError:
+            raise KeyError(
+                f"unknown scene {scene!r}: this service has "
+                f"{sorted(self._scenes) if self._scenes else 'no scenes'}"
+            ) from None
 
     def scenes(self) -> list[str]:
         return list(self._scenes)
 
     def scene_count(self, name: str) -> int:
-        return self._scenes[name].count
+        return self._db(name).count
 
     # -- serving ---------------------------------------------------------
 
@@ -159,30 +174,17 @@ class MultiSceneService:
         database, with `scene`'s normalization — through the executable
         every other scene shares.  Same return contract as
         RelocalizationService.query."""
-        db = self._scenes[scene]
+        db = self._db(scene)
         return self._svc.query_with_db(db.as_tuple(), query_images01,
                                        None, rng, norm_ms=db.norm_ms)
 
     def query_stream(self, scene: str, batches, depth: int = 2,
                      rng: jax.Array | None = None):
-        """Pipelined serving of one scene's query stream (same schedule
-        as RelocalizationService.query_stream)."""
-        from collections import deque
-
-        assert depth >= 1
-        rng = rng if rng is not None else jax.random.PRNGKey(0)
-        inflight: deque = deque()
-
-        def fetch(out):
-            return {k: np.asarray(v) for k, v in out.items()}
-
-        for i, q in enumerate(batches):
-            inflight.append(self.query(scene, q,
-                                       jax.random.fold_in(rng, i)))
-            if len(inflight) >= depth:
-                yield fetch(inflight.popleft())
-        while inflight:
-            yield fetch(inflight.popleft())
+        """Pipelined serving of one scene's query stream (the schedule
+        shared with RelocalizationService.query_stream)."""
+        self._db(scene)  # fail on an unknown scene BEFORE any dispatch
+        return _pipelined_stream(
+            lambda q, r: self.query(scene, q, r), batches, depth, rng)
 
     def query_compiles(self) -> int:
         """Distinct compiled query programs so far — the single-
@@ -199,21 +201,16 @@ class MultiSceneService:
         see RelocalizationService.add_frames).  The scene's registered
         normalization is used; there is no model_norm argument to
         mismatch."""
-        db = self._scenes[scene]
+        db = self._db(scene)
         n_new = len(images01)
         cap = int(self.cfg.capacity)
         if db.count + n_new > cap:
             raise ValueError(
                 f"capacity exceeded for scene {scene!r}: "
                 f"{db.count} + {n_new} > {cap}")
-        for i in range(0, n_new, batch):
-            chunk = jnp.asarray(images01[i:i + batch])
-            if chunk.dtype == jnp.uint8:
-                chunk = _to_float01(chunk)
-            d, e = self._embed_ms(chunk, *db.norm_ms)
-            start = jnp.int32(db.count + i)
-            db.desc = _update_rows(db.desc, d.astype(db.desc.dtype), start)
-            db.emb = _update_rows(db.emb, e.astype(db.emb.dtype), start)
+        db.desc, db.emb = _grow_rows(
+            db.desc, db.emb, lambda c: self._embed_ms(c, *db.norm_ms),
+            images01, batch, db.count)
         db.poses = _update_rows(db.poses,
                                 jnp.asarray(poses, jnp.float32),
                                 jnp.int32(db.count))
@@ -223,14 +220,14 @@ class MultiSceneService:
 
     def invalidate_frames(self, scene: str, indices) -> None:
         """Tombstone frames of one scene (never retrieved again)."""
-        db = self._scenes[scene]
+        db = self._db(scene)
         db.valid = _tombstone(db.valid, db.count, indices)
 
     def compact_scene(self, scene: str) -> np.ndarray:
         """Reclaim one scene's tombstoned slots (stable front compaction;
         returns the old_to_new slot map — see
         RelocalizationService.compact_database)."""
-        db = self._scenes[scene]
+        db = self._db(scene)
         (db.desc, db.emb, db.poses, db.valid, db.count,
          old_to_new) = _compact(db.desc, db.emb, db.poses, db.valid,
                                 db.count)
@@ -266,6 +263,11 @@ class MultiSceneService:
         retrieval resolution must match the saving config — the same
         fail-loudly contracts as the single-scene loader."""
         z = np.load(path)
+        if "scenes" not in z.files:
+            raise ValueError(
+                f"{path} is not a MultiSceneService snapshot (no 'scenes' "
+                "key — a single-scene RelocalizationService.save_database "
+                "file? load it through RelocalizationService instead)")
         snap_hw = tuple(int(v) for v in z["retrieval_hw"])
         if snap_hw != tuple(self.cfg.retrieval_hw):
             raise ValueError(

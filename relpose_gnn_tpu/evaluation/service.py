@@ -47,6 +47,48 @@ from relpose_gnn_tpu.retrieval.netvlad_index import (IMAGENET_MEAN,
 from relpose_gnn_tpu.retrieval.subsample import subsample_neighbors_batch
 
 
+def _pipelined_stream(query_fn, batches, depth: int,
+                      rng: jax.Array | None):
+    """The pipelined-serving schedule shared by
+    RelocalizationService.query_stream and MultiSceneService.query_stream:
+    keep up to `depth` async-dispatched batches in flight so batch i+1's
+    upload/launch overhead overlaps batch i's on-chip compute; yield one
+    fetched-to-numpy result dict per input batch, in order (the host read
+    is the pipeline's only sync point)."""
+    from collections import deque
+
+    assert depth >= 1
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    inflight: deque = deque()
+
+    def fetch(out):
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    for i, q in enumerate(batches):
+        inflight.append(query_fn(q, jax.random.fold_in(rng, i)))
+        if len(inflight) >= depth:
+            yield fetch(inflight.popleft())
+    while inflight:
+        yield fetch(inflight.popleft())
+
+
+def _grow_rows(desc: jax.Array, emb: jax.Array, embed_chunk, images01,
+               batch: int, count: int):
+    """Chunked embed + donated in-place row updates into the free
+    capacity slots starting at `count` (shared by both services'
+    add_frames; a fresh copy of the 32768-wide descriptor table per add
+    would double its HBM footprint)."""
+    for i in range(0, len(images01), batch):
+        chunk = jnp.asarray(images01[i:i + batch])
+        if chunk.dtype == jnp.uint8:
+            chunk = _to_float01(chunk)
+        d, e = embed_chunk(chunk)
+        start = jnp.int32(count + i)
+        desc = _update_rows(desc, d.astype(desc.dtype), start)
+        emb = _update_rows(emb, e.astype(emb.dtype), start)
+    return desc, emb
+
+
 def _to_float01(q: jax.Array) -> jax.Array:
     """uint8 [B, H, W, 3] -> float01, on device, EAGERLY on purpose: under
     jit XLA rewrites the /255 into a reciprocal multiply (measured: bitwise
@@ -281,18 +323,9 @@ class RelocalizationService:
         if self.db_count + n_new > cap:
             raise ValueError(
                 f"capacity exceeded: {self.db_count} + {n_new} > {cap}")
-        for i in range(0, n_new, batch):
-            chunk = jnp.asarray(images01[i:i + batch])
-            if chunk.dtype == jnp.uint8:
-                chunk = _to_float01(chunk)
-            d, e = self._embed(chunk)
-            start = jnp.int32(self.db_count + i)
-            # donated in-place row updates (a fresh copy of the 32768-wide
-            # descriptor table per add would double its HBM footprint)
-            self.db_desc = _update_rows(self.db_desc,
-                                        d.astype(self.db_desc.dtype), start)
-            self.db_emb = _update_rows(self.db_emb,
-                                       e.astype(self.db_emb.dtype), start)
+        self.db_desc, self.db_emb = _grow_rows(
+            self.db_desc, self.db_emb, self._embed, images01, batch,
+            self.db_count)
         # poses + validity are host data: one write each for the whole call
         self.db_poses = _update_rows(
             self.db_poses, jnp.asarray(poses, jnp.float32),
@@ -542,20 +575,6 @@ class RelocalizationService:
         `batches` is any iterable of [B, H, W, 3] arrays (uint8 or float
         in [0, 1]); B may vary (each distinct B pays one compile).
         """
-        from collections import deque
-
-        assert depth >= 1
-        rng = rng if rng is not None else jax.random.PRNGKey(0)
-        inflight: deque = deque()
-
-        def fetch(out):
-            return {k: np.asarray(v) for k, v in out.items()}
-
-        for i, q in enumerate(batches):
-            inflight.append(self.query(q, model_norm,
-                                       jax.random.fold_in(rng, i),
-                                       norm_ms=norm_ms))
-            if len(inflight) >= depth:
-                yield fetch(inflight.popleft())
-        while inflight:
-            yield fetch(inflight.popleft())
+        return _pipelined_stream(
+            lambda q, r: self.query(q, model_norm, r, norm_ms=norm_ms),
+            batches, depth, rng)

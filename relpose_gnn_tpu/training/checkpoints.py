@@ -84,11 +84,29 @@ def load_torch_weights(state, pth_path: str, stage_sizes=(3, 4, 6, 3)):
         every leaf (tests/test_ckpt_schema.py)."""
         out = dict(dst)
         for k, v in src.items():
-            if isinstance(v, dict) and k in out and isinstance(out[k], dict):
+            if k not in out:
+                # silently INSERTING unknown keys is the same failure as a
+                # shape mismatch: flax apply ignores extra params, so e.g.
+                # an R3/resnet34 checkpoint loaded into a resnet18 model
+                # would drop layer blocks '2'..'5' on the floor and serve
+                # a half-loaded model behind a 'loaded weights' log line
+                raise ValueError(
+                    f"checkpoint key {path}{k} does not exist in the "
+                    "built model — the checkpoint was trained under a "
+                    "different model config (wrong --backbone / "
+                    "--feat-dim / stage_sizes?)")
+            if isinstance(v, dict) != isinstance(out[k], dict):
+                raise ValueError(
+                    f"checkpoint structure mismatch at {path}{k}: "
+                    f"{'subtree' if isinstance(v, dict) else 'leaf'} in "
+                    "checkpoint vs "
+                    f"{'subtree' if isinstance(out[k], dict) else 'leaf'} "
+                    "in model")
+            if isinstance(v, dict):
                 out[k] = _merge(out[k], v, f"{path}{k}/")
             else:
-                if k in out and hasattr(out[k], "shape") \
-                        and hasattr(v, "shape") and out[k].shape != v.shape:
+                if hasattr(out[k], "shape") and hasattr(v, "shape") \
+                        and out[k].shape != v.shape:
                     raise ValueError(
                         f"checkpoint shape mismatch at {path}{k}: model "
                         f"has {out[k].shape}, checkpoint has {v.shape} — "

@@ -239,6 +239,18 @@ class TestFullSchemaLoad:
                        weights_only=False)["criterion_state_dict"])
         assert crit == {"sax": 0.0, "saq": -3.0}
 
+    def test_unknown_keys_fail_loudly(self, tmp_path):
+        """A checkpoint with MORE blocks than the built model (e.g. a
+        resnet34 checkpoint loaded into a resnet18 model) must raise:
+        silently INSERTING the extra blocks would leave flax apply
+        ignoring them — a half-loaded model behind a 'loaded weights'
+        log line."""
+        tm, path = make_full_schema_ckpt(tmp_path, stages=(3, 2, 2, 2))
+        state = self._flax_state((2, 2, 2, 2))
+        with pytest.raises(ValueError, match="does not exist"):
+            ckpt.load_torch_weights(state, path,
+                                    stage_sizes=(3, 2, 2, 2))
+
     def test_shape_mismatch_fails_loudly(self, tmp_path):
         """A checkpoint trained under different dims must raise, not
         silently merge mismatched arrays into the model tree."""

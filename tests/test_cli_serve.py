@@ -15,6 +15,11 @@ import serve  # noqa: E402  (cli/serve.py)
 
 class TestServeCLI:
     def test_end_to_end_smoke(self, tmp_path, capsys):
+        """--batch-size 3 against 4 test queries deliberately exercises
+        the ragged-tail machinery in _make_query_batches (the tail batch
+        pads to the full batch size by repeating the last real frame and
+        the output is trimmed back) — the export must hold exactly the
+        real query count, no pad rows."""
         raw = str(tmp_path / "raw")
         write_7scenes_fixture(raw, scene="chess", n_seqs=2, n_frames=4,
                               train=True, size=(40, 32))
@@ -24,7 +29,7 @@ class TestServeCLI:
         err = serve.main([
             "--dataset", "7Scenes", "--scene", "chess",
             "--data-path", raw, "--seq-len", "4",
-            "--image-size", "32", "--batch-size", "4",
+            "--image-size", "32", "--batch-size", "3",
             "--backbone", "resnet18", "--feat-dim", "32",
             "--dtype", "float32", "--retrieval-hw", "24", "32",
             "--netvlad-clusters", "4", "--deterministic",
@@ -33,7 +38,8 @@ class TestServeCLI:
         assert "building database" in printed and "q/s" in printed
         assert np.isfinite(err.median_t) and np.isfinite(err.median_q)
         z = np.load(out)
-        assert z["pose6"].shape[1] == 6 and len(z["pose6"]) > 0
+        assert z["pose6"].shape[1] == 6
+        assert len(z["pose6"]) == 4  # trimmed to the real query count
         # unit quaternions in the export
         np.testing.assert_allclose(
             np.linalg.norm(z["abs_q"], axis=1), 1.0, atol=1e-5)

@@ -171,6 +171,37 @@ class TestMultiScene:
         with pytest.raises(ValueError, match="capacity"):
             ms.add_scene("c", imgs, poses, *STATS_A)
 
+    def test_unknown_scene_fails_with_available_list(self):
+        """Every per-scene surface names the unknown scene AND what the
+        service actually holds — and query_stream fails BEFORE any
+        dispatch (a KeyError mid-stream would discard the batches
+        already served)."""
+        ms, data = self._service_with_scenes()
+        q = data["a"][0][:2]
+        with pytest.raises(KeyError, match=r"unknown scene 'z'.*'a'"):
+            ms.query("z", q)
+        with pytest.raises(KeyError, match="unknown scene"):
+            ms.query_stream("z", iter([q]))  # raises at call, not on next()
+        for call in (lambda: ms.scene_count("z"),
+                     lambda: ms.add_frames("z", q, data["a"][1][:2]),
+                     lambda: ms.invalidate_frames("z", [0]),
+                     lambda: ms.compact_scene("z")):
+            with pytest.raises(KeyError, match="unknown scene"):
+                call()
+
+    def test_load_rejects_single_scene_snapshot(self, tmp_path):
+        """A RelocalizationService.save_database file (no 'scenes' key)
+        must be rejected with a pointer to the right loader, not die on
+        a raw KeyError deep in np.load."""
+        path = str(tmp_path / "single.npz")
+        np.savez(path, desc=np.zeros((4, 8), np.float32),
+                 retrieval_hw=np.asarray((48, 64), np.int64))
+        model, mv, nv, nvv, cfg = make_parts()
+        ms = MultiSceneService(model, mv, nv, nvv, cfg)
+        with pytest.raises(ValueError,
+                           match="not a MultiSceneService snapshot"):
+            ms.load_database(path)
+
     def test_add_frames_matches_fresh_scene(self):
         """Growing a scene behaves like registering it whole (same
         chunking -> same embeddings -> identical deterministic
