@@ -69,6 +69,13 @@ def main():
                          "quality must be validated per scene "
                          "(tests/test_service.py measures synthetic-scene "
                          "neighbor overlap)")
+    ap.add_argument("--retrieval-mode", default="netvlad",
+                    choices=("netvlad", "shared-trunk"),
+                    help="'shared-trunk' ranks neighbors by cosine over "
+                         "the backbone embeddings the query step already "
+                         "computes — the VGG16+NetVLAD stage (62%% at "
+                         "B=512) disappears entirely; semantic knob, see "
+                         "ServiceConfig.retrieval")
     args = ap.parse_args()
 
     z = jnp.zeros(())
@@ -89,27 +96,32 @@ def main():
         k, jnp.ones((1, 8, h, w, 3)), jnp.ones((1, 8, 8), bool),
         train=False))(jax.random.PRNGKey(0))
     rhw = tuple(args.retrieval_hw)
-    netvlad = NetVLADEncoder(dtype=jnp.bfloat16)
-    nv_vars = jax.jit(lambda k: netvlad.init(
-        k, jnp.ones((1,) + rhw + (3,))))(jax.random.PRNGKey(1))
-    jax.block_until_ready((model_vars, nv_vars))
+    if args.retrieval_mode == "shared-trunk":
+        netvlad, nv_vars = None, None
+    else:
+        netvlad = NetVLADEncoder(dtype=jnp.bfloat16)
+        nv_vars = jax.jit(lambda k: netvlad.init(
+            k, jnp.ones((1,) + rhw + (3,))))(jax.random.PRNGKey(1))
+    jax.block_until_ready(model_vars)
 
-    svc = RelocalizationService(model, model_vars, netvlad, nv_vars,
-                                ServiceConfig(retrieval_hw=rhw))
+    svc = RelocalizationService(
+        model, model_vars, netvlad, nv_vars,
+        ServiceConfig(retrieval_hw=rhw, retrieval=args.retrieval_mode))
 
     m = args.db  # database frames (tunnel uploads are slow)
     rng = np.random.default_rng(0)
     if args.synth_db:
-        # shapes/dtypes exactly as build() leaves them (f32 descriptors:
-        # NetVLAD casts before its norms — a bf16 table would time a sim
-        # matmul production never runs)
+        # shapes/dtypes exactly as build() leaves them: f32 descriptors
+        # (NetVLAD casts before its norms; shared-trunk normalizes in
+        # f32) and f32 embeddings (encode_nodes casts its output)
         print("synthesizing database on device...", flush=True)
         kd, ke, kp = jax.random.split(jax.random.PRNGKey(2), 3)
         feat = svc.model.cfg.feat_dim
+        dv = feat if args.retrieval_mode == "shared-trunk" else 32768
         svc.db_desc = jax.jit(lambda k: jax.random.normal(
-            k, (m, 32768), jnp.float32))(kd)
+            k, (m, dv), jnp.float32))(kd)
         svc.db_emb = jax.jit(lambda k: jax.random.normal(
-            k, (m, feat), jnp.bfloat16))(ke)
+            k, (m, feat), jnp.float32))(ke)
         svc.db_poses = jax.jit(lambda k: jax.random.normal(
             k, (m, 6), jnp.float32))(kp)
         svc.db_valid = jnp.ones((m,), bool)

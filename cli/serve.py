@@ -71,6 +71,16 @@ def parse_args(argv):
     p.add_argument("--retrieval-hw", type=int, nargs=2, default=(192, 256),
                    metavar=("H", "W"),
                    help="NetVLAD input size (smoke tests use smaller)")
+    p.add_argument("--retrieval-mode", default="netvlad",
+                   choices=("netvlad", "shared-trunk"),
+                   help="'netvlad': reference protocol (separate "
+                        "VGG16+NetVLAD descriptor pass, 62%% of the query "
+                        "step at B=512); 'shared-trunk': rank neighbors by "
+                        "cosine over the backbone embeddings the GNN "
+                        "already computes — deletes the retrieval trunk. "
+                        "SEMANTIC knob: neighbor sets change; validate "
+                        "ranking quality per scene (tests/test_service.py "
+                        "measures synthetic-scene overlap)")
     p.add_argument("--pipeline-depth", type=int, default=2,
                    help="query batches kept in flight (query_stream); "
                         "host decode + upload overlap device compute")
@@ -223,21 +233,29 @@ def main(argv=None):
     # of the query step (benchmarks/bench_service_bisect.py), and an f32
     # VGG16 would halve the stage's MXU rate while the benches measure
     # bf16 (params stay f32 either way; dtype is the compute dtype)
-    netvlad = NetVLADEncoder(
-        num_clusters=args.netvlad_clusters,
-        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None)
     rhw = tuple(args.retrieval_hw)
-    if args.netvlad_checkpoint:
-        from relpose_gnn_tpu.models.convert import (convert_netvlad,
-                                                    load_torch_state_dict)
-        nv_params = convert_netvlad(
-            load_torch_state_dict(args.netvlad_checkpoint))
-        nv_vars = {"params": nv_params}
-        print(f"loaded NetVLAD: {args.netvlad_checkpoint}")
+    if args.retrieval_mode == "shared-trunk":
+        # neighbors rank by cosine over the backbone embeddings — no
+        # NetVLAD encoder exists in this deployment at all
+        netvlad, nv_vars = None, None
+        if args.netvlad_checkpoint:
+            print("NOTE: --netvlad-checkpoint is unused with "
+                  "--retrieval-mode shared-trunk")
     else:
-        nv_vars = netvlad.init(jax.random.PRNGKey(1),
-                               jnp.ones((1,) + rhw + (3,)))
-        print("WARNING: random NetVLAD weights (smoke mode)")
+        netvlad = NetVLADEncoder(
+            num_clusters=args.netvlad_clusters,
+            dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None)
+        if args.netvlad_checkpoint:
+            from relpose_gnn_tpu.models.convert import (convert_netvlad,
+                                                        load_torch_state_dict)
+            nv_params = convert_netvlad(
+                load_torch_state_dict(args.netvlad_checkpoint))
+            nv_vars = {"params": nv_params}
+            print(f"loaded NetVLAD: {args.netvlad_checkpoint}")
+        else:
+            nv_vars = netvlad.init(jax.random.PRNGKey(1),
+                                   jnp.ones((1,) + rhw + (3,)))
+            print("WARNING: random NetVLAD weights (smoke mode)")
 
     # --- several scenes: one shared executable (MultiSceneService) ---------
     sp = args.sampling_period or (3 if args.dataset == "Cambridge" else 5)
@@ -259,7 +277,8 @@ def main(argv=None):
         ServiceConfig(seq_len=args.seq_len, sampling_period=sp,
                       retrieval_hw=rhw,
                       deterministic=args.deterministic,
-                      capacity=args.capacity),
+                      capacity=args.capacity,
+                      retrieval=args.retrieval_mode),
         fold_bn=not args.no_fold_bn)
 
     if args.load_db:
@@ -362,7 +381,7 @@ def _serve_multiscene(args, model, model_vars, netvlad, nv_vars,
         model, model_vars, netvlad, nv_vars,
         ServiceConfig(seq_len=args.seq_len, sampling_period=sp,
                       retrieval_hw=rhw, deterministic=args.deterministic,
-                      capacity=capacity),
+                      capacity=capacity, retrieval=args.retrieval_mode),
         fold_bn=not args.no_fold_bn)
 
     if args.load_db:

@@ -44,7 +44,8 @@ from relpose_gnn_tpu.evaluation.service import (RelocalizationService,
                                                 _grow_rows,
                                                 _pipelined_stream,
                                                 _to_float01, _tombstone,
-                                                _update_rows, _update_valid)
+                                                _unit_rows, _update_rows,
+                                                _update_valid)
 
 
 @dataclasses.dataclass
@@ -99,11 +100,14 @@ class MultiSceneService:
 
         @jax.jit
         def embed_ms(chunk, mean, std):
-            desc = svc.netvlad.apply(svc.netvlad_vars,
-                                     svc._netvlad_input(chunk))
             x = (chunk - mean) * (1.0 / std)
             emb = svc.model.apply(svc.model_vars, x[:, None], train=False,
                                   method=RelPoseGNN.encode_nodes)[:, 0]
+            if svc.cfg.retrieval == "shared-trunk":
+                desc = _unit_rows(emb)
+            else:
+                desc = svc.netvlad.apply(svc.netvlad_vars,
+                                         svc._netvlad_input(chunk))
             return desc, emb
 
         return embed_ms
@@ -245,7 +249,8 @@ class MultiSceneService:
 
         payload = {"scenes": np.asarray(sorted(self._scenes)),
                    "retrieval_hw": np.asarray(self.cfg.retrieval_hw,
-                                              np.int64)}
+                                              np.int64),
+                   "retrieval": np.asarray(self.cfg.retrieval)}
         for name, db in self._scenes.items():
             payload[f"{name}/desc"] = host(db.desc)
             payload[f"{name}/emb"] = host(db.emb)
@@ -268,8 +273,16 @@ class MultiSceneService:
                 f"{path} is not a MultiSceneService snapshot (no 'scenes' "
                 "key — a single-scene RelocalizationService.save_database "
                 "file? load it through RelocalizationService instead)")
+        snap_mode = (str(z["retrieval"]) if "retrieval" in z.files
+                     else "netvlad")
+        if snap_mode != self.cfg.retrieval:
+            raise ValueError(
+                f"snapshot was built with retrieval={snap_mode!r} but this "
+                f"service is configured for {self.cfg.retrieval!r}; "
+                "descriptors from different retrieval modes are not "
+                "comparable")
         snap_hw = tuple(int(v) for v in z["retrieval_hw"])
-        if snap_hw != tuple(self.cfg.retrieval_hw):
+        if snap_mode == "netvlad" and snap_hw != tuple(self.cfg.retrieval_hw):
             raise ValueError(
                 f"snapshot was built with retrieval_hw={snap_hw} but this "
                 f"service embeds queries at {tuple(self.cfg.retrieval_hw)};"

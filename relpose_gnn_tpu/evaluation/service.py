@@ -16,8 +16,10 @@ batch end to end:
                  -> dense edge-GNN relative-pose regression
                  -> absolute pose from the nearest-neighbor anchor
 
-State held on device: NetVLAD descriptors [M, 32768], backbone node
-embeddings [M, D], pose6 [M, 6] for every database frame (built once).
+State held on device: retrieval descriptors (NetVLAD [M, 32768], or the
+L2-normalized backbone embeddings under ``retrieval='shared-trunk'``),
+backbone node embeddings [M, D], pose6 [M, 6] for every database frame
+(built once).
 
 Incremental growth (`ServiceConfig.capacity` + `add_frames`): XLA
 programs are shape-specialized, so a database that grows row by row
@@ -87,6 +89,15 @@ def _grow_rows(desc: jax.Array, emb: jax.Array, embed_chunk, images01,
         desc = _update_rows(desc, d.astype(desc.dtype), start)
         emb = _update_rows(emb, e.astype(emb.dtype), start)
     return desc, emb
+
+
+def _unit_rows(x: jax.Array) -> jax.Array:
+    """L2-normalize rows in float32 (shared-trunk retrieval descriptors:
+    cosine ranking over backbone embeddings; f32 keeps the ranking key's
+    precision independent of the service compute dtype)."""
+    x = x.astype(jnp.float32)
+    n = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+    return x / jnp.maximum(n, 1e-12)
 
 
 def _to_float01(q: jax.Array) -> jax.Array:
@@ -182,6 +193,25 @@ class ServiceConfig:
     #   a growing M would recompile per size).  Padded rows are excluded
     #   from retrieval by the mask on both selection branches.
     #   None = arrays sized exactly to build()'s database (no growth).
+    retrieval: str = "netvlad"
+    # ^ retrieval-descriptor source:
+    #   "netvlad"      — the reference protocol: a separate VGG16+NetVLAD
+    #                    pass at `retrieval_hw` (vlad_encoder.py:48-51).
+    #   "shared-trunk" — rank neighbors by cosine over the SAME backbone
+    #                    node embeddings the GNN consumes (db_desc becomes
+    #                    the L2-normalized rows of db_emb; the query's
+    #                    encode_nodes output is reused as its descriptor).
+    #                    Deletes the retrieval trunk — 62% of the full
+    #                    query step at B=512 (bench_service_bisect) — at
+    #                    the cost of ranking with relpose features instead
+    #                    of place-recognition features.  SEMANTIC knob:
+    #                    neighbor sets change; validate ranking quality
+    #                    per deployment (tests/test_service.py measures
+    #                    synthetic-scene overlap vs the NetVLAD path).
+    #                    The desc table keeps its own (normalized f32)
+    #                    copy so growth/compaction/persistence stay
+    #                    uniform across modes — [M, feat_dim] f32, 16x
+    #                    SMALLER than NetVLAD's [M, 32768].
 
 
 class RelocalizationService:
@@ -192,6 +222,13 @@ class RelocalizationService:
                  cfg: ServiceConfig = ServiceConfig(),
                  fold_bn: bool = True, s2d_stem: bool = False,
                  compact_edges: bool = True):
+        if cfg.retrieval not in ("netvlad", "shared-trunk"):
+            raise ValueError(f"unknown retrieval mode {cfg.retrieval!r}: "
+                             "expected 'netvlad' or 'shared-trunk'")
+        if cfg.retrieval == "netvlad" and netvlad is None:
+            raise ValueError("retrieval='netvlad' needs a NetVLAD encoder "
+                             "(pass netvlad/netvlad_vars, or use "
+                             "retrieval='shared-trunk')")
         if fold_bn and model.cfg.backbone.startswith("resnet") \
                 and not model.cfg.bn_folded:
             # serving form: BN folded into conv weights (~2.5x measured,
@@ -245,11 +282,14 @@ class RelocalizationService:
     def _make_embed(self, model_norm):
         @jax.jit
         def embed(chunk):
-            desc = self.netvlad.apply(self.netvlad_vars,
-                                      self._netvlad_input(chunk))
             emb = self.model.apply(self.model_vars,
                                    model_norm(chunk)[:, None], train=False,
                                    method=RelPoseGNN.encode_nodes)[:, 0]
+            if self.cfg.retrieval == "shared-trunk":
+                desc = _unit_rows(emb)
+            else:
+                desc = self.netvlad.apply(self.netvlad_vars,
+                                          self._netvlad_input(chunk))
             return desc, emb
 
         self._embed = embed  # reused by add_frames (same jit cache)
@@ -393,7 +433,8 @@ class RelocalizationService:
                  count=np.int64(self.db_count),
                  desc_dtype=str(self.db_desc.dtype),
                  emb_dtype=str(self.db_emb.dtype),
-                 retrieval_hw=np.asarray(self.cfg.retrieval_hw, np.int64))
+                 retrieval_hw=np.asarray(self.cfg.retrieval_hw, np.int64),
+                 retrieval=np.asarray(self.cfg.retrieval))
 
     def load_database(self, path: str) -> None:
         """Restore a save_database() snapshot onto the device.  The
@@ -408,11 +449,21 @@ class RelocalizationService:
                 f"snapshot rows ({m}) do not match this service's "
                 f"capacity ({want}); it was saved under a different "
                 "ServiceConfig")
-        # descriptors are a function of the NetVLAD input size: serving a
-        # 192x256-built database to queries embedded at another resolution
-        # would silently rank garbage similarities — fail loudly instead
+        # descriptors are a function of the retrieval MODE and (for
+        # netvlad) the input size: serving a database built under a
+        # different descriptor function would silently rank garbage
+        # similarities — fail loudly instead.  Pre-round-4 snapshots have
+        # no 'retrieval' key; they were all NetVLAD-built.
+        snap_mode = (str(z["retrieval"]) if "retrieval" in z.files
+                     else "netvlad")
+        if snap_mode != self.cfg.retrieval:
+            raise ValueError(
+                f"snapshot was built with retrieval={snap_mode!r} but this "
+                f"service is configured for {self.cfg.retrieval!r}; "
+                "descriptors from different retrieval modes are not "
+                "comparable — rebuild the database (or match the config)")
         snap_hw = tuple(int(v) for v in z["retrieval_hw"])
-        if snap_hw != tuple(self.cfg.retrieval_hw):
+        if snap_mode == "netvlad" and snap_hw != tuple(self.cfg.retrieval_hw):
             raise ValueError(
                 f"snapshot was built with retrieval_hw={snap_hw} but this "
                 f"service embeds queries at {tuple(self.cfg.retrieval_hw)}; "
@@ -455,9 +506,23 @@ class RelocalizationService:
                               else (query01 - norm_ms[0])
                               * (1.0 / norm_ms[1]))
             b = query01.shape[0]
-            # 1. retrieval descriptor + similarities (one matmul)
-            q_desc = self.netvlad.apply(netvlad_vars,
-                                        self._netvlad_input(query01))
+            # 1. retrieval descriptor + similarities (one matmul).
+            # shared-trunk mode reuses the query's backbone embedding
+            # (computed here, consumed again at graph assembly) as its
+            # descriptor — the whole retrieval stage reduces to one
+            # normalize + one [B, D] x [D, M] matmul; the netvlad branch
+            # keeps its trace order so its compiled programs (and their
+            # measured numbers) are untouched
+            if cfg.retrieval == "shared-trunk":
+                q_emb = self.model.apply(model_vars,
+                                         query_model_in[:, None],
+                                         train=False,
+                                         method=RelPoseGNN.encode_nodes)
+                q_desc = _unit_rows(q_emb[:, 0])
+            else:
+                q_emb = None  # encoded after selection (trace order)
+                q_desc = self.netvlad.apply(netvlad_vars,
+                                            self._netvlad_input(query01))
             sim = q_desc @ db_desc.T                      # [B, M]
 
             # 2. neighbor selection (db_valid masks capacity padding —
@@ -488,9 +553,11 @@ class RelocalizationService:
                     candidates=cfg.retrieval_candidates)
 
             # 3. graph assembly from cached embeddings
-            q_emb = self.model.apply(model_vars, query_model_in[:, None],
-                                     train=False,
-                                     method=RelPoseGNN.encode_nodes)
+            if q_emb is None:
+                q_emb = self.model.apply(model_vars,
+                                         query_model_in[:, None],
+                                         train=False,
+                                         method=RelPoseGNN.encode_nodes)
             nbr_emb = db_emb[nbrs]                        # [B, K, D]
             x = jnp.concatenate([q_emb, nbr_emb.astype(q_emb.dtype)],
                                 axis=1)

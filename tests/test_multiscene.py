@@ -28,7 +28,7 @@ STATS_B = (np.float32([0.52, 0.50, 0.48]), np.float32([0.311, 0.286, 0.297]))
 
 
 def make_parts(seq_len=4, deterministic=True, capacity=16,
-               retrieval_candidates=None):
+               retrieval_candidates=None, retrieval="netvlad"):
     mcfg = RelPoseGNNConfig(num_nodes=seq_len, feat_dim=32, edge_dim=32,
                             node_dim=32, knn=2, backbone="resnet18",
                             droprate=0.0)
@@ -37,12 +37,16 @@ def make_parts(seq_len=4, deterministic=True, capacity=16,
                             jnp.ones((1, seq_len, 32, 40, 3)),
                             jnp.ones((1, seq_len, seq_len), bool),
                             train=False)
-    netvlad = NetVLADEncoder(num_clusters=4, encoder_dim=512)
-    nv_vars = netvlad.init(jax.random.PRNGKey(1), jnp.ones((1, 48, 64, 3)))
+    if retrieval == "shared-trunk":
+        netvlad, nv_vars = None, None
+    else:
+        netvlad = NetVLADEncoder(num_clusters=4, encoder_dim=512)
+        nv_vars = netvlad.init(jax.random.PRNGKey(1),
+                               jnp.ones((1, 48, 64, 3)))
     cfg = ServiceConfig(seq_len=seq_len, sampling_period=2,
                         retrieval_hw=(48, 64), deterministic=deterministic,
                         retrieval_candidates=retrieval_candidates,
-                        capacity=capacity)
+                        capacity=capacity, retrieval=retrieval)
     return model, model_vars, netvlad, nv_vars, cfg
 
 
@@ -156,6 +160,34 @@ class TestMultiScene:
         ms.query("b", data["b"][0][:2])
         ms.add_frames("a", data["a"][0][:3], data["a"][1][:3], batch=4)
         ms.query("a", data["a"][0][2:4])
+        assert ms.query_compiles() == 1
+
+    def test_shared_trunk_single_compile_and_bitwise(self):
+        """retrieval='shared-trunk' composes with the multi-scene
+        contract: two scenes share one executable (no NetVLAD encoder
+        exists at all), and each scene bit-matches a dedicated
+        single-scene shared-trunk service with the normalization traced
+        in — covering the normalized-embedding descriptor through the
+        runtime-norm embed path."""
+        model, mv, _, _, cfg = make_parts(retrieval="shared-trunk")
+        ms = MultiSceneService(model, mv, None, None, cfg)
+        for name, stats, seed in (("a", STATS_A, 5), ("b", STATS_B, 6)):
+            imgs, poses = scene_data(10, seed=seed)
+            ms.add_scene(name, imgs, poses, *stats, batch=4)
+
+            single = RelocalizationService(model, mv, None, None, cfg)
+            single.build(imgs, poses, traced_norm(stats), batch=4)
+            np.testing.assert_array_equal(
+                np.asarray(ms._scenes[name].desc),
+                np.asarray(single.db_desc))
+
+            q = imgs[3:6] * 0.97
+            got = ms.query(name, q)
+            want = single.query(q, traced_norm(stats))
+            np.testing.assert_array_equal(np.asarray(got["pose"]),
+                                          np.asarray(want["pose"]))
+            np.testing.assert_array_equal(np.asarray(got["neighbors"]),
+                                          np.asarray(want["neighbors"]))
         assert ms.query_compiles() == 1
 
     def test_requires_capacity(self):

@@ -12,7 +12,8 @@ from relpose_gnn_tpu.models.posenet import RelPoseGNN, RelPoseGNNConfig
 
 
 def build_service(seq_len=4, deterministic=False, retrieval_candidates=256,
-                  capacity=None, dtype=None, retrieval_hw=(48, 64)):
+                  capacity=None, dtype=None, retrieval_hw=(48, 64),
+                  retrieval="netvlad"):
     mcfg = RelPoseGNNConfig(num_nodes=seq_len, feat_dim=32, edge_dim=32,
                             node_dim=32, knn=2, backbone="resnet18",
                             droprate=0.0, dtype=dtype)
@@ -21,13 +22,19 @@ def build_service(seq_len=4, deterministic=False, retrieval_candidates=256,
                             jnp.ones((1, seq_len, 32, 40, 3)),
                             jnp.ones((1, seq_len, seq_len), bool),
                             train=False)
-    netvlad = NetVLADEncoder(num_clusters=4, encoder_dim=512, dtype=dtype)
-    nv_vars = netvlad.init(jax.random.PRNGKey(1), jnp.ones((1, 48, 64, 3)))
+    if retrieval == "shared-trunk":
+        # exercises the NetVLAD-free construction path (no encoder needed)
+        netvlad, nv_vars = None, None
+    else:
+        netvlad = NetVLADEncoder(num_clusters=4, encoder_dim=512,
+                                 dtype=dtype)
+        nv_vars = netvlad.init(jax.random.PRNGKey(1),
+                               jnp.ones((1, 48, 64, 3)))
     cfg = ServiceConfig(seq_len=seq_len, sampling_period=2,
                         retrieval_hw=retrieval_hw,
                         deterministic=deterministic,
                         retrieval_candidates=retrieval_candidates,
-                        capacity=capacity)
+                        capacity=capacity, retrieval=retrieval)
     return RelocalizationService(model, model_vars, netvlad, nv_vars, cfg)
 
 
@@ -270,6 +277,168 @@ class TestResizeDrift:
         overlap = np.mean([len(set(a) & set(b)) / k
                            for a, b in zip(top_full, top_half)])
         assert overlap >= 0.75, overlap
+
+
+class TestSharedTrunkRetrieval:
+    """retrieval='shared-trunk': neighbors ranked by cosine over the SAME
+    backbone embeddings the GNN consumes — no NetVLAD/VGG16 pass at all
+    (that trunk is 62% of the full query step at B=512,
+    benchmarks/bench_service_bisect.py).  SEMANTIC knob (neighbor sets
+    change); default stays 'netvlad' (the reference's protocol)."""
+
+    def _db(self, n, seed=0, hw=(32, 40)):
+        rng = np.random.default_rng(seed)
+        return (rng.random((n,) + hw + (3,)).astype(np.float32),
+                rng.normal(size=(n, 6)).astype(np.float32))
+
+    def test_query_contract_and_self_match(self):
+        svc = build_service(retrieval="shared-trunk", deterministic=True)
+        db, db_poses = self._db(12, seed=11)
+        svc.build(db, db_poses, model_norm, batch=4)
+        # descriptor table IS the normalized embedding table (f32)
+        assert svc.db_desc.shape == (12, 32)
+        assert svc.db_desc.dtype == jnp.float32
+        emb = np.asarray(svc.db_emb, np.float64)
+        want = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        np.testing.assert_allclose(np.asarray(svc.db_desc, np.float64),
+                                   want, atol=1e-6)
+        # query identical to db frame 4 -> its top neighbor is 4
+        out = svc.query(db[4:5], model_norm, jax.random.PRNGKey(0))
+        assert int(out["neighbors"][0, 0]) == 4
+        assert out["pose"].shape == (1, 6)
+        assert np.isfinite(np.asarray(out["pose"])).all()
+
+    def test_windowed_matches_full_sort(self):
+        # the windowed top-C exactness contract holds for shared-trunk
+        # similarities too (they are just a different ranking key)
+        db, db_poses = self._db(40, seed=12)
+        rng = np.random.default_rng(13)
+        queries = rng.random((3, 32, 40, 3)).astype(np.float32)
+        for det in (False, True):
+            outs = []
+            for cand in (None, 16):
+                svc = build_service(retrieval="shared-trunk",
+                                    deterministic=det,
+                                    retrieval_candidates=cand)
+                svc.build(db, db_poses, model_norm, batch=8)
+                outs.append(svc.query(queries, model_norm,
+                                      jax.random.PRNGKey(3)))
+            np.testing.assert_array_equal(np.asarray(outs[0]["neighbors"]),
+                                          np.asarray(outs[1]["neighbors"]))
+            np.testing.assert_array_equal(np.asarray(outs[0]["pose"]),
+                                          np.asarray(outs[1]["pose"]))
+
+    def test_growth_matches_fresh_build(self):
+        # build(8) + add_frames(4) == build(12), bitwise, in shared-trunk
+        # mode (growth embeds through the same chunked program)
+        db, db_poses = self._db(12, seed=14)
+        grown = build_service(retrieval="shared-trunk", capacity=16)
+        grown.build(db[:8], db_poses[:8], model_norm, batch=4)
+        grown.add_frames(db[8:], db_poses[8:], model_norm, batch=4)
+        fresh = build_service(retrieval="shared-trunk", capacity=16)
+        fresh.build(db, db_poses, model_norm, batch=4)
+        np.testing.assert_array_equal(np.asarray(grown.db_desc),
+                                      np.asarray(fresh.db_desc))
+        np.testing.assert_array_equal(np.asarray(grown.db_emb),
+                                      np.asarray(fresh.db_emb))
+        np.testing.assert_array_equal(np.asarray(grown.db_valid),
+                                      np.asarray(fresh.db_valid))
+
+    def test_persistence_roundtrip_and_mode_mismatch(self, tmp_path):
+        db, db_poses = self._db(10, seed=15)
+        svc = build_service(retrieval="shared-trunk", deterministic=True)
+        svc.build(db, db_poses, model_norm, batch=4)
+        path = str(tmp_path / "db.npz")
+        svc.save_database(path)
+        # roundtrip: restored database serves bit-identical results
+        want = svc.query(db[2:4], model_norm, jax.random.PRNGKey(1))
+        svc2 = build_service(retrieval="shared-trunk", deterministic=True)
+        svc2.load_database(path)
+        got = svc2.query(db[2:4], model_norm, jax.random.PRNGKey(1))
+        np.testing.assert_array_equal(np.asarray(got["pose"]),
+                                      np.asarray(want["pose"]))
+        np.testing.assert_array_equal(np.asarray(got["neighbors"]),
+                                      np.asarray(want["neighbors"]))
+        # a netvlad-mode service must refuse a shared-trunk snapshot
+        # (descriptors from different retrieval modes rank garbage)
+        nv = build_service(deterministic=True)
+        with pytest.raises(ValueError, match="retrieval="):
+            nv.load_database(path)
+
+    def test_netvlad_mode_requires_encoder(self):
+        mcfg = RelPoseGNNConfig(num_nodes=4, feat_dim=32, edge_dim=32,
+                                node_dim=32, knn=2, backbone="resnet18",
+                                droprate=0.0)
+        model = RelPoseGNN(mcfg)
+        model_vars = model.init(jax.random.PRNGKey(0),
+                                jnp.ones((1, 4, 32, 40, 3)),
+                                jnp.ones((1, 4, 4), bool), train=False)
+        with pytest.raises(ValueError, match="NetVLAD"):
+            RelocalizationService(model, model_vars, None, None,
+                                  ServiceConfig(seq_len=4))
+        with pytest.raises(ValueError, match="retrieval mode"):
+            RelocalizationService(model, model_vars, None, None,
+                                  ServiceConfig(seq_len=4,
+                                                retrieval="typo"))
+
+    def test_neighbor_overlap_vs_netvlad(self):
+        """Quantify the shared-trunk KNOB's ranking agreement with the
+        NetVLAD path on the synthetic overlapping-views scene (same
+        harness as the reduced-resolution knob's gate above): top-4
+        neighbor sets from cosine over backbone embeddings vs NetVLAD
+        descriptors.  Untrained weights, synthetic scene — real scenes
+        must validate per deployment; the knob defaults OFF.  Measured
+        2026-08: top-4 overlap 0.708 between the two UNTRAINED rankings
+        (a floor, not the deployment number: trained relpose features
+        are location-discriminative by construction, while untrained
+        random-projection features are the weakest case for this knob)."""
+        from scipy.ndimage import gaussian_filter
+
+        from relpose_gnn_tpu.retrieval.netvlad_index import (IMAGENET_MEAN,
+                                                             IMAGENET_STD)
+
+        rng = np.random.default_rng(5)
+        field = gaussian_filter(rng.normal(size=(200, 270, 3)),
+                                sigma=(7, 7, 0))
+        field = (field - field.min()) / (field.max() - field.min())
+        h, w, m = 96, 128, 24
+        frames = np.stack([field[3 * i:3 * i + h, 4 * i:4 * i + w]
+                           for i in range(m)]).astype(np.float32)
+
+        # NetVLAD descriptors (the reference's retrieval function)
+        enc = NetVLADEncoder(num_clusters=8)
+        hw = (48, 64)
+        x = jax.image.resize(jnp.asarray(frames), (m, *hw, 3), "bilinear")
+        x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+        v = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, *hw, 3)))
+        d_nv = np.asarray(enc.apply(v, x), np.float64)
+
+        # shared-trunk descriptors (normalized backbone embeddings)
+        mcfg = RelPoseGNNConfig(num_nodes=4, feat_dim=32, edge_dim=32,
+                                node_dim=32, knn=2, backbone="resnet18",
+                                droprate=0.0)
+        model = RelPoseGNN(mcfg)
+        mv = model.init(jax.random.PRNGKey(0),
+                        jnp.ones((1, 4, h, w, 3)),
+                        jnp.ones((1, 4, 4), bool), train=False)
+        emb = model.apply(mv, model_norm(jnp.asarray(frames))[:, None],
+                          train=False,
+                          method=RelPoseGNN.encode_nodes)[:, 0]
+        emb = np.asarray(emb, np.float64)
+        d_st = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+
+        k = 4
+
+        def topk_sets(d):
+            sim = d @ d.T
+            np.fill_diagonal(sim, -np.inf)
+            return np.argsort(-sim, axis=1)[:, :k]
+
+        top_nv = topk_sets(d_nv)
+        top_st = topk_sets(d_st)
+        overlap = np.mean([len(set(a) & set(b)) / k
+                           for a, b in zip(top_nv, top_st)])
+        assert overlap >= 0.5, overlap
 
 
 class TestCapacityGrowth:
