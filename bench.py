@@ -234,6 +234,12 @@ def main():
                                             s2d_stem=args.s2d)
     else:
         # ViT backbone: no BN to fold (LayerNorm serves as-is)
+        if args.s2d:
+            # refuse rather than silently benchmark the plain stem and
+            # let the operator record an 's2d' number that never ran
+            raise SystemExit(
+                f"--s2d applies to resnet backbones only (model "
+                f"{args.model_name} uses {cfg.backbone})")
         fcfg, fvars = cfg, variables
     if args.compact is not False:
         # compact edge-list GNN: exact (tests/test_compact_gnn.py), halves

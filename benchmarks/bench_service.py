@@ -54,7 +54,7 @@ def main():
                          "program compile + slow tunnel uploads)")
     ap.add_argument("--synth-db", action="store_true",
                     help="synthesize the database DIRECTLY ON DEVICE "
-                         "(random f32 descriptors / bf16 embeddings / "
+                         "(random f32 descriptors / f32 embeddings / "
                          "poses) instead of embedding uploaded pixels: "
                          "the query program reads only these arrays, so "
                          "q/s is identical, and a production-size --db "

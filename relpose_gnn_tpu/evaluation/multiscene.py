@@ -265,8 +265,15 @@ class MultiSceneService:
 
     def load_database(self, path: str) -> None:
         """Restore a save_database() snapshot (all scenes).  Capacity and
-        retrieval resolution must match the saving config — the same
-        fail-loudly contracts as the single-scene loader."""
+        retrieval mode/resolution must match the saving config — the same
+        fail-loudly contracts as the single-scene loader.
+
+        REPLACES the service's scene registry wholesale (like the
+        single-scene loader replaces its db_* state): scenes added before
+        the load are dropped, never silently mixed with restored ones —
+        a merge would overwrite same-named scenes with different
+        embeddings/normalization while keeping stale extras, a
+        mixed-provenance state nothing could debug."""
         z = np.load(path)
         if "scenes" not in z.files:
             raise ValueError(
@@ -288,13 +295,14 @@ class MultiSceneService:
                 f"service embeds queries at {tuple(self.cfg.retrieval_hw)};"
                 " mixed-resolution descriptors are not comparable")
         cap = int(self.cfg.capacity)
+        restored: dict[str, SceneDatabase] = {}
         for name in (str(s) for s in z["scenes"]):
             m = z[f"{name}/desc"].shape[0]
             if m != cap:
                 raise ValueError(
                     f"scene {name!r} snapshot rows ({m}) != capacity "
                     f"({cap}); saved under a different ServiceConfig")
-            self._scenes[name] = SceneDatabase(
+            restored[name] = SceneDatabase(
                 desc=jnp.asarray(z[f"{name}/desc"]).astype(
                     str(z[f"{name}/desc_dtype"])),
                 emb=jnp.asarray(z[f"{name}/emb"]).astype(
@@ -304,3 +312,6 @@ class MultiSceneService:
                 count=int(z[f"{name}/count"]),
                 norm_ms=(jnp.asarray(z[f"{name}/norm_mean"]),
                          jnp.asarray(z[f"{name}/norm_std"])))
+        # atomic swap: a mid-load validation error leaves the registry
+        # untouched rather than half-restored
+        self._scenes = restored

@@ -168,6 +168,18 @@ def make_cached_eval_step(model: RelPoseGNN, ref_node: int = 0,
     `nbr_poses[s-1] - pred_rel[s, ref]` fuse through the SAME
     trainer.fuse_pose_estimates the pixel path uses — the two run_eval
     branches produce identical fused predictions (tested)."""
+    if ref_node != 0:
+        # the cached layout is positional: node 0 IS the query (unknown
+        # pose, zero placeholder row), nbr_poses[j-1] belongs to node j.
+        # With ref_node != 0 the 'first' branch can gather
+        # nbr_poses[nbr - 1] at nbr == 0 (wraps to the LAST neighbor) and
+        # the fused branch averages an estimate built from the query's
+        # zero placeholder (mask[:, ref_node] only excludes the ref
+        # column) — both silently wrong, so refuse up front; the pixel
+        # path (make_eval_step) supports arbitrary ref_node
+        raise ValueError(
+            f"make_cached_eval_step requires ref_node == 0 (got "
+            f"{ref_node}): the cached layout places the query at node 0")
 
     @jax.jit
     def eval_step(variables, query_imgs, nbr_emb, nbr_poses, adj):

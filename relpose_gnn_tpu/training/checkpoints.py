@@ -75,6 +75,16 @@ def load_torch_weights(state, pth_path: str, stage_sizes=(3, 4, 6, 3)):
     optimizer state is left fresh — the same semantics as train.py:214-219."""
     sd = tconvert.load_torch_state_dict(pth_path)
     params, batch_stats = tconvert.convert_relpose_gnn(sd, stage_sizes)
+    written: set[str] = set()
+
+    def _leaf_paths(tree, path=""):
+        out = []
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out.extend(_leaf_paths(v, f"{path}{k}/"))
+            else:
+                out.append(f"{path}{k}")
+        return out
 
     def _merge(dst, src, path=""):
         """Copy src leaves into dst tree (dst defines the full structure).
@@ -114,11 +124,34 @@ def load_torch_weights(state, pth_path: str, stage_sizes=(3, 4, 6, 3)):
                         "model config")
                 out[k] = jax.tree.map(
                     lambda s: np.asarray(s, np.float32), v)
+                written.add(f"{path}{k}")
         return out
 
-    new_model = _merge(dict(state.params["model"]), params)
-    new_stats = _merge(dict(state.batch_stats), {"encoder":
-                                                 batch_stats["encoder"]})
+    def _merge_full(dst, src, what):
+        """_merge + completeness: every leaf of the model tree must have
+        been written by the checkpoint.  Unknown checkpoint keys already
+        fail loudly (below); the INVERSE gap — a checkpoint that is a
+        strict subset of the model, e.g. resnet18-shaped weights whose
+        converted keys all exist with matching shapes inside a resnet34
+        tree — would otherwise half-load silently behind a 'loaded
+        weights' log line, with the uncovered blocks left at random
+        init."""
+        written.clear()
+        out = _merge(dict(dst), src)
+        missing = sorted(set(_leaf_paths(dst)) - written)
+        if missing:
+            raise ValueError(
+                f"checkpoint does not cover the built model's {what}: "
+                f"{len(missing)} leaves missing, first few "
+                f"{missing[:6]} — the checkpoint was trained under a "
+                "different model config (wrong --backbone / --feat-dim / "
+                "stage_sizes?)")
+        return out
+
+    new_model = _merge_full(state.params["model"], params, "params")
+    new_stats = _merge_full(state.batch_stats,
+                            {"encoder": batch_stats["encoder"]},
+                            "batch_stats")
     new_params = dict(state.params)
     new_params["model"] = new_model
     return state.replace(params=new_params, batch_stats=new_stats)

@@ -251,6 +251,17 @@ class TestFullSchemaLoad:
             ckpt.load_torch_weights(state, path,
                                     stage_sizes=(3, 2, 2, 2))
 
+    def test_subset_checkpoint_fails_loudly(self, tmp_path):
+        """The INVERSE of unknown-keys: a checkpoint that is a strict
+        SUBSET of the built model (resnet18-shaped weights loaded into a
+        resnet34 tree — every converted key exists there with matching
+        BasicBlock shapes) must raise instead of half-loading and leaving
+        the uncovered blocks at random init."""
+        tm, path = make_full_schema_ckpt(tmp_path)  # (2, 2, 2, 2)
+        state = self._flax_state((3, 4, 6, 3))
+        with pytest.raises(ValueError, match="does not cover"):
+            ckpt.load_torch_weights(state, path, stage_sizes=(2, 2, 2, 2))
+
     def test_shape_mismatch_fails_loudly(self, tmp_path):
         """A checkpoint trained under different dims must raise, not
         silently merge mismatched arrays into the model tree."""

@@ -296,6 +296,31 @@ class TestMultiScene:
                 np.asarray(ms.query(name, q)["pose"]),
                 np.asarray(dst.query(name, q)["pose"]))
 
+    def test_load_replaces_registry_wholesale(self, tmp_path):
+        """load_database REPLACES the scene registry (like the
+        single-scene loader replaces db_* state): a scene added before
+        the load — whether or not the snapshot also has one by that
+        name — never survives as mixed-provenance state."""
+        ms, data = self._service_with_scenes()
+        path = str(tmp_path / "ms.npz")
+        ms.save_database(path)
+
+        model, mv, nv, nvv, cfg = make_parts(deterministic=True,
+                                             capacity=16)
+        dst = MultiSceneService(model, mv, nv, nvv, cfg)
+        # pre-load scenes: one name-colliding ('a', DIFFERENT data), one
+        # extra ('c') absent from the snapshot
+        imgs_c, poses_c = scene_data(6, seed=9, pose_offset=50.0)
+        dst.add_scene("a", imgs_c, poses_c, *STATS_B, batch=4)
+        dst.add_scene("c", imgs_c, poses_c, *STATS_B, batch=4)
+        dst.load_database(path)
+        assert sorted(dst.scenes()) == ["a", "b"]  # 'c' dropped
+        # 'a' is the SNAPSHOT's scene a, not the pre-load imposter
+        q = data["a"][0][2:5]
+        np.testing.assert_array_equal(
+            np.asarray(dst.query("a", q)["pose"]),
+            np.asarray(ms.query("a", q)["pose"]))
+
     def test_query_stream_matches_sequential(self):
         ms, data = self._service_with_scenes(deterministic=False)
         rng = np.random.default_rng(5)
