@@ -9,6 +9,12 @@ Batch sweep, device-resident leg (single v5e, warm cache, same session):
 128 -> 3018 q/s, 256 -> 3018, 512 -> 2895.  The knee is flat over
 128-256 and droops at 512 (the VGG16 retrieval trunk's early layers go
 HBM-bound on the wider activations); 128 stays the default.
+
+Retrieval-stage levers (same-session A/Bs at B=128/M=4096, synth-db;
+full tables + quality gates in docs/DESIGN.md "Round 4"): reduced
+resolution --retrieval-hw 96 128 -> 5284 q/s (1.78x vs 2977 default);
+--retrieval-mode shared-trunk -> 7538 q/s (2.55x vs 2955 netvlad leg,
+within ~4% of the cached protocol's 7826).
 """
 
 import os.path as _osp
