@@ -43,6 +43,7 @@ from relpose_gnn_tpu.evaluation.service import (RelocalizationService,
                                                 ServiceConfig, _compact,
                                                 _grow_rows,
                                                 _pipelined_stream,
+                                                _pose_rows,
                                                 _to_float01, _tombstone,
                                                 _unit_rows, _update_rows,
                                                 _update_valid)
@@ -140,10 +141,10 @@ class MultiSceneService:
         if m > cap:
             raise ValueError(f"scene {name!r} has {m} frames > capacity "
                              f"{cap}")
+        poses = _pose_rows(db_poses, m, f"add_scene({name!r})")
         norm_ms = (jnp.asarray(mean, jnp.float32).reshape(3),
                    jnp.asarray(std, jnp.float32).reshape(3))
         desc, emb = self._embed_chunks(db_images01, norm_ms, batch)
-        poses = jnp.asarray(db_poses, jnp.float32)
         pad = cap - m
         self._scenes[name] = SceneDatabase(
             desc=jnp.pad(desc, ((0, pad), (0, 0))),
@@ -212,12 +213,11 @@ class MultiSceneService:
             raise ValueError(
                 f"capacity exceeded for scene {scene!r}: "
                 f"{db.count} + {n_new} > {cap}")
+        pose_rows = _pose_rows(poses, n_new, f"add_frames({scene!r})")
         db.desc, db.emb = _grow_rows(
             db.desc, db.emb, lambda c: self._embed_ms(c, *db.norm_ms),
             images01, batch, db.count)
-        db.poses = _update_rows(db.poses,
-                                jnp.asarray(poses, jnp.float32),
-                                jnp.int32(db.count))
+        db.poses = _update_rows(db.poses, pose_rows, jnp.int32(db.count))
         db.valid = _update_valid(db.valid, jnp.int32(db.count),
                                  jnp.int32(n_new))
         db.count += n_new

@@ -91,6 +91,21 @@ def _grow_rows(desc: jax.Array, emb: jax.Array, embed_chunk, images01,
     return desc, emb
 
 
+def _pose_rows(poses, n: int, what: str) -> jax.Array:
+    """Validate-and-convert a pose batch riding with an n-image batch:
+    must be [n, 6] float32.  A silent length mismatch is worse than it
+    looks: short poses leave valid-marked slots holding stale/zero poses,
+    and LONG poses make the donated `dynamic_update_slice` row write
+    CLAMP its start index (XLA semantics) and overwrite earlier live
+    rows — both corrupt query results with no error."""
+    arr = jnp.asarray(poses, jnp.float32)
+    if arr.shape != (n, 6):
+        raise ValueError(
+            f"{what}: poses shape {tuple(arr.shape)} does not match the "
+            f"image batch — expected ({n}, 6)")
+    return arr
+
+
 def _unit_rows(x: jax.Array) -> jax.Array:
     """L2-normalize rows in float32 (shared-trunk retrieval descriptors:
     cosine ranking over backbone embeddings; f32 keeps the ranking key's
@@ -303,6 +318,7 @@ class RelocalizationService:
         scene normalization used at graph-build time.  Accepts float in
         [0, 1] or uint8 (4x less host RAM and H2D traffic; converted on
         device per chunk, same contract as query())."""
+        poses = _pose_rows(db_poses, len(db_images01), "build")
         embed = self._make_embed(model_norm)
         descs, embs = [], []
         for i in range(0, len(db_images01), batch):
@@ -314,7 +330,6 @@ class RelocalizationService:
             embs.append(e)
         desc = jnp.concatenate(descs)
         emb = jnp.concatenate(embs)
-        poses = jnp.asarray(db_poses, jnp.float32)
         m = desc.shape[0]
         self.db_count = m
         if self.cfg.capacity is not None:
@@ -363,13 +378,13 @@ class RelocalizationService:
         if self.db_count + n_new > cap:
             raise ValueError(
                 f"capacity exceeded: {self.db_count} + {n_new} > {cap}")
+        pose_rows = _pose_rows(poses, n_new, "add_frames")
         self.db_desc, self.db_emb = _grow_rows(
             self.db_desc, self.db_emb, self._embed, images01, batch,
             self.db_count)
         # poses + validity are host data: one write each for the whole call
         self.db_poses = _update_rows(
-            self.db_poses, jnp.asarray(poses, jnp.float32),
-            jnp.int32(self.db_count))
+            self.db_poses, pose_rows, jnp.int32(self.db_count))
         self.db_valid = _update_valid(
             self.db_valid, jnp.int32(self.db_count), jnp.int32(n_new))
         self.db_count += n_new

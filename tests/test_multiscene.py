@@ -203,6 +203,22 @@ class TestMultiScene:
         with pytest.raises(ValueError, match="capacity"):
             ms.add_scene("c", imgs, poses, *STATS_A)
 
+    def test_pose_length_mismatch_fails_loudly(self):
+        """len(poses) != len(images) raises before any mutation, on both
+        add_scene and add_frames (see the single-scene twin in
+        tests/test_service.py for why silent mismatches corrupt)."""
+        ms, data = self._service_with_scenes()
+        imgs, poses = scene_data(6, seed=10)
+        with pytest.raises(ValueError, match="poses shape"):
+            ms.add_scene("c", imgs, poses[:4], *STATS_A, batch=4)
+        assert "c" not in ms.scenes()
+        before = np.asarray(ms._scenes["a"].poses).copy()
+        with pytest.raises(ValueError, match="poses shape"):
+            ms.add_frames("a", imgs[:2], poses[:3], batch=4)
+        np.testing.assert_array_equal(
+            np.asarray(ms._scenes["a"].poses), before)
+        assert ms.scene_count("a") == 10
+
     def test_unknown_scene_fails_with_available_list(self):
         """Every per-scene surface names the unknown scene AND what the
         service actually holds — and query_stream fails BEFORE any

@@ -530,6 +530,28 @@ class TestCapacityGrowth:
         with pytest.raises(ValueError, match="capacity exceeded"):
             cap.add_frames(db[:3], poses[:3], model_norm)
 
+    def test_pose_length_mismatch_fails_loudly(self):
+        """len(poses) != len(images) must raise BEFORE any mutation: a
+        short batch would mark valid slots whose poses were never
+        written, and a LONG batch's donated dynamic_update_slice row
+        write CLAMPS its start index and overwrites earlier live rows —
+        both silent result corruption."""
+        import pytest
+
+        db, poses = self._db(8)
+        svc = build_service(capacity=16)
+        with pytest.raises(ValueError, match="poses shape"):
+            svc.build(db, poses[:6], model_norm, batch=4)
+
+        svc.build(db[:4], poses[:4], model_norm, batch=4)
+        before = np.asarray(svc.db_poses).copy()
+        for bad in (poses[4:5], poses[4:7]):  # short of / beyond 2 images
+            with pytest.raises(ValueError, match="poses shape"):
+                svc.add_frames(db[4:6], bad, model_norm, batch=4)
+        # the failed adds mutated nothing (validated before _grow_rows)
+        np.testing.assert_array_equal(np.asarray(svc.db_poses), before)
+        assert svc.db_count == 4
+
     def test_invalidate_frames(self):
         """Tombstoned frames are never retrieved again, with or without
         capacity."""
