@@ -172,3 +172,231 @@ def convert_netvlad(sd: Mapping) -> dict:
     if "pool.conv.bias" in sd:
         pool["assign_conv"]["bias"] = _np(sd["pool.conv.bias"])
     return {"encoder": encoder, "pool": pool}
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: Flax parameter trees -> reference torch state dicts
+# ---------------------------------------------------------------------------
+# Inverse of convert_relpose_gnn/convert_resnet: weights trained HERE become
+# loadable in the reference stack (utils/utils.py:22-31 schema,
+# PoseNetX_R2 key names, posenet.py:920-1091) the day artifacts are
+# exchangeable — closing the one-way-converter gap (VERDICT r4 next #2).
+# Layout rules are the exact inverses of the table at the top of this file.
+
+def _inv_conv(k) -> np.ndarray:
+    """flax conv kernel [kH, kW, I, O] -> torch [O, I, kH, kW]."""
+    return np.asarray(k, np.float32).transpose(3, 2, 0, 1)
+
+
+def _inv_linear(k) -> np.ndarray:
+    """flax dense kernel [I, O] -> torch [O, I]."""
+    return np.asarray(k, np.float32).T
+
+
+def _export_bn(out: dict, prefix: str, p: Mapping, s: Mapping) -> None:
+    out[f"{prefix}.weight"] = np.asarray(p["scale"], np.float32)
+    out[f"{prefix}.bias"] = np.asarray(p["bias"], np.float32)
+    out[f"{prefix}.running_mean"] = np.asarray(s["mean"], np.float32)
+    out[f"{prefix}.running_var"] = np.asarray(s["var"], np.float32)
+    # torch BN buffers carry a step counter with no inference role; the
+    # reference files have it, and torch load_state_dict(strict=True)
+    # requires it
+    out[f"{prefix}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+
+def _export_linear(out: dict, name: str, p: Mapping) -> None:
+    out[f"{name}.weight"] = _inv_linear(p["kernel"])
+    out[f"{name}.bias"] = np.asarray(p["bias"], np.float32)
+
+
+def _export_mlp2(out: dict, name: str, p: Mapping) -> None:
+    """MLP2 {fc1, fc2} -> torch Seq(Linear, ReLU, Linear) `.0`/`.2`
+    (my_gnn_layer.py:280-286)."""
+    _export_linear(out, f"{name}.0", p["fc1"])
+    _export_linear(out, f"{name}.2", p["fc2"])
+
+
+def _export_attention(out: dict, name: str, p: Mapping) -> None:
+    for k in ("g", "theta", "phi", "W"):
+        _export_linear(out, f"{name}.{k}", p[k])
+
+
+def export_resnet(params: Mapping, stats: Mapping,
+                  stage_sizes=(3, 4, 6, 3), prefix: str = "") -> dict:
+    """models.resnet.ResNet (params, batch_stats) -> torchvision resnet
+    state-dict entries (inverse of convert_resnet)."""
+    out: dict = {f"{prefix}conv1.weight": _inv_conv(params["conv1"]
+                                                    ["kernel"])}
+    _export_bn(out, f"{prefix}bn1", params["bn1"], stats["bn1"])
+    for stage, num_blocks in enumerate(stage_sizes):
+        for block in range(num_blocks):
+            t = f"{prefix}layer{stage + 1}.{block}"
+            f = f"layer{stage + 1}_{block}"
+            p, s = params[f], stats[f]
+            out[f"{t}.conv1.weight"] = _inv_conv(p["conv1"]["kernel"])
+            out[f"{t}.conv2.weight"] = _inv_conv(p["conv2"]["kernel"])
+            _export_bn(out, f"{t}.bn1", p["bn1"], s["bn1"])
+            _export_bn(out, f"{t}.bn2", p["bn2"], s["bn2"])
+            if "downsample_conv" in p:
+                out[f"{t}.downsample.0.weight"] = _inv_conv(
+                    p["downsample_conv"]["kernel"])
+                _export_bn(out, f"{t}.downsample.1",
+                           p["downsample_bn"], s["downsample_bn"])
+    if "fc" in params:
+        _export_linear(out, f"{prefix}fc", params["fc"])
+    return out
+
+
+def export_relpose_gnn(params: Mapping, batch_stats: Mapping,
+                       stage_sizes=(3, 4, 6, 3)) -> dict:
+    """RelPoseGNN (params['model'], batch_stats) -> PoseNetX_R2 torch
+    state dict {name: np.ndarray} (inverse of convert_relpose_gnn).
+
+    Fails loudly on parameter subtrees with no reference counterpart
+    (e.g. a ViT backbone): a silent partial export would produce a
+    .pth.tar the reference loads into garbage."""
+    known = {"encoder", "proj_edge", "att"} | \
+        {f"gnn{i}" for i in (1, 2, 3, 4)} | \
+        {"fc_xyz", "fc_wpqr", "fc_xyz_R", "fc_wpqr_R"}
+    extra = sorted(set(params) - known)
+    if extra:
+        raise ValueError(
+            f"cannot export parameter subtrees {extra} to the reference "
+            "PoseNetX_R2 schema — only the ResNet-backbone RelPoseGNN "
+            "family is representable in the reference stack")
+    out = export_resnet(params["encoder"], batch_stats["encoder"],
+                        stage_sizes, prefix="feature_extractor.")
+    _export_linear(out, "proj_edge", params["proj_edge"])
+    for i in (1, 2, 3, 4):
+        if f"gnn{i}" in params:
+            g = params[f"gnn{i}"]
+            _export_mlp2(out, f"gnn{i}.edge_model.edge_mlp", g["edge_mlp"])
+            _export_mlp2(out, f"gnn{i}.mlp", g["msg_mlp"])
+            _export_mlp2(out, f"gnn{i}.mlp_updating", g["upd_mlp"])
+            if "att" in g:
+                _export_attention(out, f"gnn{i}.att", g["att"])
+    for head in ("fc_xyz", "fc_wpqr", "fc_xyz_R", "fc_wpqr_R"):
+        if head in params:
+            _export_linear(out, head, params[head])
+    if "att" in params:
+        _export_attention(out, "att", params["att"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ViT (timm / DINOv2 layout) -> ViTEncoder
+# ---------------------------------------------------------------------------
+
+def interpolate_pos_embed(pos: np.ndarray, grid_hw: tuple[int, int],
+                          old_hw: tuple[int, int] | None = None
+                          ) -> np.ndarray:
+    """Resize a [1, 1 + h0*w0, D] position table to a new patch grid
+    (bicubic over the spatial grid, CLS slot untouched) — the standard
+    timm/DINOv2 recipe for loading a 224px-trained ViT at another input
+    size.  `old_hw` defaults to a square grid (the pretraining shape);
+    same-size calls return the input bitwise."""
+    import jax
+    import jax.numpy as jnp
+
+    n = pos.shape[1] - 1
+    if old_hw is None:
+        side = int(round(float(np.sqrt(n))))
+        if side * side != n:
+            raise ValueError(
+                f"pos_embed has {n} patch slots (not square) — pass "
+                "old_hw=(h0, w0) explicitly")
+        old_hw = (side, side)
+    h, w = grid_hw
+    if old_hw == (h, w):
+        return np.asarray(pos)
+    grid = np.asarray(pos[:, 1:], np.float32).reshape(
+        1, old_hw[0], old_hw[1], -1)
+    resized = np.asarray(jax.image.resize(
+        jnp.asarray(grid), (1, h, w, grid.shape[-1]), method="bicubic"))
+    return np.concatenate(
+        [np.asarray(pos[:, :1], np.float32),
+         resized.reshape(1, h * w, -1)], axis=1)
+
+
+def convert_vit(sd: Mapping, heads: int = 12,
+                grid_hw: tuple[int, int] | None = None,
+                pos_old_hw: tuple[int, int] | None = None
+                ) -> tuple[dict, bool]:
+    """timm/DINOv2-style ViT state dict -> (ViTEncoder params, layer_scale).
+
+    Handles the fused-qkv split into flax MultiHeadDotProductAttention's
+    per-head query/key/value trees, DINOv2 LayerScale gammas (ls1/ls2 ->
+    the layer_scale=True model form; the returned bool says which form to
+    build), and optional pos-embed grid interpolation (`grid_hw` = target
+    patch grid, e.g. (16, 21) for 256x341/p16).  The feat_dim projection
+    head (`fc`) is OURS (trained from scratch) and is not produced here —
+    `training/checkpoints.py::load_vit_weights` leaves it at init.
+
+    Unknown keys fail loudly (same contract as load_torch_weights):
+    silently skipping e.g. DINOv2 register tokens or a SwiGLU MLP would
+    warm-start a structurally different network."""
+    sd = {k: _np(v) for k, v in sd.items()}
+    depth = 1 + max(int(k.split(".")[1]) for k in sd
+                    if k.startswith("blocks."))
+    dim = sd["cls_token"].shape[-1]
+    dh = dim // heads
+    layer_scale = "blocks.0.ls1.gamma" in sd
+
+    consumed: set = set()
+
+    def g(name):
+        consumed.add(name)
+        return sd[name]
+
+    pos = g("pos_embed")
+    if grid_hw is not None:
+        pos = interpolate_pos_embed(pos, grid_hw, pos_old_hw)
+    params: dict = {
+        "cls": g("cls_token"),
+        "pos_embed": pos,
+        "patch_embed": {"kernel": conv_kernel(g("patch_embed.proj.weight")),
+                        "bias": g("patch_embed.proj.bias")},
+        "norm": {"scale": g("norm.weight"), "bias": g("norm.bias")},
+    }
+    for i in range(depth):
+        p = f"blocks.{i}"
+        qkv_w = g(f"{p}.attn.qkv.weight")       # [3D, D] torch layout
+        qkv_b = g(f"{p}.attn.qkv.bias")         # [3D]
+        wq, wk, wv = np.split(qkv_w, 3, axis=0)
+        bq, bk, bv = np.split(qkv_b, 3, axis=0)
+
+        def head_in(w, b):
+            # torch [D_out, D_in] -> flax [D_in, heads, d_head]
+            return {"kernel": w.T.reshape(dim, heads, dh),
+                    "bias": b.reshape(heads, dh)}
+
+        blk = {
+            "LayerNorm_0": {"scale": g(f"{p}.norm1.weight"),
+                            "bias": g(f"{p}.norm1.bias")},
+            "MultiHeadDotProductAttention_0": {
+                "query": head_in(wq, bq),
+                "key": head_in(wk, bk),
+                "value": head_in(wv, bv),
+                "out": {"kernel": g(f"{p}.attn.proj.weight").T.reshape(
+                            heads, dh, dim),
+                        "bias": g(f"{p}.attn.proj.bias")}},
+            "LayerNorm_1": {"scale": g(f"{p}.norm2.weight"),
+                            "bias": g(f"{p}.norm2.bias")},
+            "Dense_0": {"kernel": linear_kernel(g(f"{p}.mlp.fc1.weight")),
+                        "bias": g(f"{p}.mlp.fc1.bias")},
+            "Dense_1": {"kernel": linear_kernel(g(f"{p}.mlp.fc2.weight")),
+                        "bias": g(f"{p}.mlp.fc2.bias")},
+        }
+        if layer_scale:
+            blk["ls1"] = g(f"{p}.ls1.gamma")
+            blk["ls2"] = g(f"{p}.ls2.gamma")
+        params[f"block{i}"] = blk
+
+    unknown = sorted(set(sd) - consumed)
+    if unknown:
+        raise ValueError(
+            f"convert_vit: {len(unknown)} unconsumed checkpoint keys "
+            f"(first few: {unknown[:6]}) — register tokens / SwiGLU / "
+            "non-timm layouts are not representable in ViTEncoder; "
+            "refusing a silent partial warm start")
+    return params, layer_scale

@@ -66,6 +66,11 @@ class RelPoseGNNConfig:
     s2d_stem: bool = False      # serving form: space-to-depth conv1
     #                             (fold_bn.space_to_depth_conv1 transforms
     #                             the checkpoint weights; eval only)
+    vit_layer_scale: bool = False  # backbone="vit": DINOv2-style
+    #                                LayerScale residual gammas (set when
+    #                                warm-starting from a checkpoint that
+    #                                carries them; models/convert.py::
+    #                                convert_vit detects which)
     compact_edges: bool = False  # GNN computes on a compact static-shape
     #                              edge list ([.., E] gathered endpoints)
     #                              instead of the dense N x N pair grid —
@@ -127,7 +132,8 @@ class RelPoseGNN(nn.Module):
             from relpose_gnn_tpu.models.vit import ViTEncoder
             vit_cls = (nn.remat(ViTEncoder, static_argnums=(2,))
                        if c.remat else ViTEncoder)
-            self.encoder = vit_cls(feat_dim=c.feat_dim, dtype=c.dtype)
+            self.encoder = vit_cls(feat_dim=c.feat_dim, dtype=c.dtype,
+                                   layer_scale=c.vit_layer_scale)
         else:
             raise ValueError(f"unknown backbone {c.backbone!r}")
 

@@ -1,9 +1,14 @@
 """ViT node encoder — the stretch backbone config (BASELINE.json configs[4]).
 
 A standard pre-norm ViT (patchify -> transformer -> CLS readout -> linear
-projection to `feat_dim`), ViT-B/16 by default.  DINOv2-style checkpoints can
-be loaded through `models/convert.py` name mapping.  Not present in the
-reference repo; listed as the stretch node encoder in BASELINE.json.
+projection to `feat_dim`), ViT-B/16 by default.  Pretrained timm/DINOv2-
+style checkpoints load through `models/convert.py::convert_vit` (fused-qkv
+split, layer-scale gammas when present, bicubic pos-embed interpolation;
+`training/checkpoints.py::load_vit_weights` is the warm-start entry).
+The MLP GELU is the tanh approximation (jax.nn.gelu default) — exact-GELU
+checkpoints (timm default) warm-start with a ~1e-3 activation delta, which
+the from-scratch `fc` head absorbs.  Not present in the reference repo;
+listed as the stretch node encoder in BASELINE.json.
 """
 
 from __future__ import annotations
@@ -20,17 +25,27 @@ class TransformerBlock(nn.Module):
     heads: int
     mlp_ratio: int = 4
     dtype: Any = None
+    layer_scale: bool = False
+    # ^ DINOv2-style LayerScale: per-channel learnable gamma on each
+    #   residual branch (ls1 after attention, ls2 after the MLP).
+    #   convert_vit enables it when the checkpoint carries ls gammas.
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         y = nn.LayerNorm(dtype=self.dtype)(x)
         y = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, dtype=self.dtype)(y, y)
+        if self.layer_scale:
+            y = y * self.param("ls1", nn.initializers.ones,
+                               (self.dim,)).astype(y.dtype)
         x = x + y
         y = nn.LayerNorm(dtype=self.dtype)(x)
         y = nn.Dense(self.dim * self.mlp_ratio, dtype=self.dtype)(y)
         y = nn.gelu(y)
         y = nn.Dense(self.dim, dtype=self.dtype)(y)
+        if self.layer_scale:
+            y = y * self.param("ls2", nn.initializers.ones,
+                               (self.dim,)).astype(y.dtype)
         return x + y
 
 
@@ -41,6 +56,7 @@ class ViTEncoder(nn.Module):
     depth: int = 12
     heads: int = 12
     dtype: Any = None
+    layer_scale: bool = False  # see TransformerBlock.layer_scale
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -62,6 +78,7 @@ class ViTEncoder(nn.Module):
         x = x + pos.astype(x.dtype)
         for i in range(self.depth):
             x = TransformerBlock(self.dim, self.heads, dtype=self.dtype,
+                                 layer_scale=self.layer_scale,
                                  name=f"block{i}")(x)
         x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
         return nn.Dense(self.feat_dim, name="fc")(x[:, 0].astype(jnp.float32))

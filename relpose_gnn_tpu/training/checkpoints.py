@@ -155,3 +155,124 @@ def load_torch_weights(state, pth_path: str, stage_sizes=(3, 4, 6, 3)):
     new_params = dict(state.params)
     new_params["model"] = new_model
     return state.replace(params=new_params, batch_stats=new_stats)
+
+
+def save_torch_checkpoint(state, path: str, epoch: int,
+                          stage_sizes=(3, 4, 6, 3), lr: float = 1e-4,
+                          weight_decay: float = 5e-4) -> str:
+    """Export a TrainState as a reference-schema `.pth.tar` — the exact
+    inverse of `load_torch_weights`, so weights trained HERE are loadable
+    (and third-party-verifiable) in the reference stack.
+
+    Schema is byte-compatible with the reference save path
+    (utils/utils.py:22-31):
+
+        {'epoch': E, 'model_state_dict': <PoseNetX_R2 names>,
+         'optim_state_dict': <torch.optim.Adam schema>,
+         'criterion_state_dict': {'sax', 'saq'}}
+
+    `optim_state_dict` carries the reference's three param groups
+    (train.py:196-211: model params, criterion, criterion_R) with EMPTY
+    per-param state — the same fresh-optimizer semantics the reference's
+    own restore applies (train.py:214-219 loads model weights only; Adam
+    moments are never restored).  Our optax moments have no torch-Adam
+    serialization, and nothing downstream reads them.
+
+    If `path` is a directory, the reference filename convention
+    `epoch_{:03d}.pth.tar` (utils/utils.py:24) is applied inside it.
+    Returns the written path."""
+    import torch
+
+    if osp.isdir(path):
+        path = osp.join(path, "epoch_{:03d}.pth.tar".format(epoch))
+    model_np = tconvert.export_relpose_gnn(state.params["model"],
+                                           state.batch_stats, stage_sizes)
+    model_sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in model_np.items()}
+    n_learnable = sum(1 for k in model_np
+                      if not k.endswith(("running_mean", "running_var",
+                                         "num_batches_tracked")))
+    group_hp = dict(lr=lr, betas=(0.9, 0.999), eps=1e-8,
+                    weight_decay=weight_decay, amsgrad=False)
+    optim_sd = {"state": {},
+                "param_groups": [
+                    dict(group_hp, params=list(range(n_learnable))),
+                    dict(group_hp, params=[n_learnable, n_learnable + 1]),
+                    dict(group_hp,
+                         params=[n_learnable + 2, n_learnable + 3])]}
+
+    def crit_sd(name):
+        c = state.params[name]
+        return {"sax": torch.tensor(float(np.asarray(c["sax"]))),
+                "saq": torch.tensor(float(np.asarray(c["saq"])))}
+
+    torch.save({"epoch": int(epoch),
+                "model_state_dict": model_sd,
+                "optim_state_dict": optim_sd,
+                "criterion_state_dict": crit_sd("criterion")}, path)
+    return path
+
+
+def load_vit_weights(state, pth_path: str, heads: int = 12,
+                     grid_hw: tuple[int, int] | None = None):
+    """Warm-start a ViT-backbone model's encoder from a timm/DINOv2-style
+    checkpoint (models/convert.py::convert_vit).  The feat_dim projection
+    head (`encoder/fc`) has no pretrained counterpart and stays at init;
+    everything else must be covered exactly (same fail-loud contract as
+    load_torch_weights).  `grid_hw` interpolates the checkpoint's
+    pos_embed to the model's patch grid (required whenever the sizes
+    differ — e.g. a 224px-trained table loaded at 256x341/p16 needs
+    grid_hw=(16, 21))."""
+    sd = tconvert.load_torch_state_dict(pth_path)
+    params, layer_scale = tconvert.convert_vit(sd, heads=heads,
+                                               grid_hw=grid_hw)
+    enc = state.params["model"]["encoder"]
+    if layer_scale and "ls1" not in enc.get("block0", {}):
+        raise ValueError(
+            "checkpoint carries DINOv2 LayerScale gammas but the model "
+            "was built without them — set "
+            "RelPoseGNNConfig.vit_layer_scale=True (or "
+            "ViTEncoder.layer_scale=True) and rebuild")
+
+    def leaf_paths(tree, path=""):
+        out = []
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out.extend(leaf_paths(v, f"{path}{k}/"))
+            else:
+                out.append(f"{path}{k}")
+        return out
+
+    def merge(dst, src, path=""):
+        out = dict(dst)
+        for k, v in src.items():
+            if k not in out:
+                raise ValueError(
+                    f"checkpoint key {path}{k} does not exist in the "
+                    "built ViT encoder — depth/width/layer-scale config "
+                    "mismatch")
+            if isinstance(v, dict):
+                out[k] = merge(out[k], v, f"{path}{k}/")
+            else:
+                if tuple(out[k].shape) != tuple(np.shape(v)):
+                    raise ValueError(
+                        f"shape mismatch at {path}{k}: model "
+                        f"{tuple(out[k].shape)} vs checkpoint "
+                        f"{tuple(np.shape(v))}"
+                        + (" — pass grid_hw to interpolate pos_embed"
+                           if k == "pos_embed" else ""))
+                out[k] = np.asarray(v, np.float32)
+        return out
+
+    new_enc = merge(enc, params)
+    missing = sorted(set(leaf_paths(enc)) - set(leaf_paths(params)))
+    if missing != ["fc/bias", "fc/kernel"]:
+        raise ValueError(
+            "checkpoint does not cover the built encoder: missing "
+            f"{[m for m in missing if not m.startswith('fc/')][:6]} "
+            "(only the from-scratch fc head may be uncovered)")
+    new_model = dict(state.params["model"])
+    new_model["encoder"] = new_enc
+    new_params = dict(state.params)
+    new_params["model"] = new_model
+    return state.replace(params=new_params)

@@ -296,3 +296,130 @@ class TestParityCLIFullSchema:
         scene, err, pub = rows[0]
         assert scene == "chess"
         assert np.isfinite(err.median_t) and np.isfinite(err.median_q)
+
+
+class TestReverseExport:
+    """save_torch_checkpoint: the exact inverse of load_torch_weights
+    (VERDICT r4 next #2) — weights trained here become loadable in the
+    reference stack (utils/utils.py:22-31 schema, strict torch load)."""
+
+    def _flax_state(self, n=4):
+        cfg = RelPoseGNNConfig(num_nodes=n, feat_dim=32, edge_dim=32,
+                               node_dim=32, knn=4, backbone="resnet18",
+                               droprate=0.0)
+        model = RelPoseGNN(cfg)
+        return create_train_state(
+            jax.random.PRNGKey(3), model, TrainerConfig(sax=0.7, saq=-1.3),
+            jnp.ones((1, n, 32, 40, 3)), jnp.ones((1, n, n), bool))
+
+    def test_export_key_census(self, tmp_path):
+        """The exported model_state_dict key set IS the reference
+        PoseNetX_R2 key census (resnet18 stage sizes here; the census
+        generator is stage-parametric and separately proven against the
+        R3 torch stand-in)."""
+        state = self._flax_state()
+        path = ckpt.save_torch_checkpoint(state, str(tmp_path), 149,
+                                          stage_sizes=(2, 2, 2, 2))
+        assert osp.basename(path) == "epoch_149.pth.tar"
+        sd = torch.load(path, map_location="cpu",
+                        weights_only=False)["model_state_dict"]
+        assert set(sd.keys()) == r3_expected_key_names((2, 2, 2, 2))
+
+    def test_roundtrip_bitwise(self, tmp_path):
+        """export -> load_torch_weights restores every model param and
+        BN stat bit-for-bit (both directions are pure transposes)."""
+        state = self._flax_state()
+        path = ckpt.save_torch_checkpoint(state, str(tmp_path), 199,
+                                          stage_sizes=(2, 2, 2, 2))
+        fresh = self._flax_state()
+        # start from DIFFERENT weights so the equality is not vacuous
+        fresh = fresh.replace(params=jax.tree.map(lambda x: x * 0.0,
+                                                  fresh.params))
+        loaded = ckpt.load_torch_weights(fresh, path,
+                                         stage_sizes=(2, 2, 2, 2))
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(b)),
+            dict(state.params["model"]), dict(loaded.params["model"]))
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(b)),
+            dict(state.batch_stats), dict(loaded.batch_stats))
+
+    def test_torch_side_strict_load(self, tmp_path):
+        """The torch oracle accepts the export with strict=True, and a
+        reference-grouped Adam accepts the optim_state_dict — the full
+        schema is consumable by the reference's own restore path
+        (train.py:214-219)."""
+        state = self._flax_state()
+        path = ckpt.save_torch_checkpoint(state, str(tmp_path), 149,
+                                          stage_sizes=(2, 2, 2, 2))
+        blob = torch.load(path, map_location="cpu", weights_only=False)
+        assert sorted(blob.keys()) == ["criterion_state_dict", "epoch",
+                                       "model_state_dict",
+                                       "optim_state_dict"]
+        tm = TorchRelPoseGNN(dim=32, stage_sizes=(2, 2, 2, 2),
+                             recursion=2, knn=4)
+        tm.load_state_dict(blob["model_state_dict"], strict=True)
+        # spot-check a transposed tensor landed correctly
+        np.testing.assert_array_equal(
+            tm.proj_edge.weight.detach().numpy(),
+            np.asarray(state.params["model"]["proj_edge"]["kernel"]).T)
+        crit, crit_r = RefPoseNetCriterion(), RefPoseNetCriterion()
+        opt = torch.optim.Adam([{"params": tm.parameters()},
+                                {"params": [crit.sax, crit.saq]},
+                                {"params": [crit_r.sax, crit_r.saq]}],
+                               lr=1e-4, weight_decay=5e-4)
+        opt.load_state_dict(blob["optim_state_dict"])
+        # criterion scalars round-trip through the forward converter
+        got = convert.convert_criterion(blob["criterion_state_dict"])
+        assert got == {"sax": pytest.approx(0.7),
+                       "saq": pytest.approx(-1.3)}
+
+    def test_forward_parity_through_torch(self, tmp_path):
+        """End-to-end proof: the exported checkpoint loaded into the
+        TORCH oracle produces the same forward pass as the flax model
+        that exported it (the strongest 'reference can use our weights'
+        claim buildable offline).  The weight direction is the REVERSE
+        of test_full_model_parity's golden tests: flax -> .pth.tar ->
+        torch."""
+        from relpose_gnn_tpu.ops import graph as graph_ops
+        n = 6
+        state = self._flax_state(n=n)
+        path = ckpt.save_torch_checkpoint(state, str(tmp_path), 149,
+                                          stage_sizes=(2, 2, 2, 2))
+        blob = torch.load(path, map_location="cpu", weights_only=False)
+        tm = TorchRelPoseGNN(dim=32, stage_sizes=(2, 2, 2, 2),
+                             recursion=2, knn=4).eval()
+        tm.load_state_dict(blob["model_state_dict"], strict=True)
+
+        rng = np.random.default_rng(0)
+        imgs_nchw = rng.normal(size=(n, 3, 32, 40)).astype(np.float32)
+        with torch.no_grad():
+            want_abs, want_rel, want_ei = tm(torch.from_numpy(imgs_nchw),
+                                             None)  # knn>0: dynamic graph
+        cfg = RelPoseGNNConfig(num_nodes=n, feat_dim=32, edge_dim=32,
+                               node_dim=32, knn=4, backbone="resnet18",
+                               droprate=0.0)
+        model = RelPoseGNN(cfg)
+        pred_abs, pred_rel, adj_out, _ = model.apply(
+            {"params": state.params["model"],
+             "batch_stats": state.batch_stats},
+            jnp.asarray(imgs_nchw.transpose(0, 2, 3, 1))[None],
+            jnp.asarray(graph_ops.fc_adjacency(n))[None], train=False)
+        want_ei = want_ei.numpy()
+        np.testing.assert_array_equal(
+            np.asarray(adj_out)[0],
+            graph_ops.edge_index_to_adj(want_ei, n))
+        np.testing.assert_allclose(np.asarray(pred_abs)[0],
+                                   want_abs.numpy(), atol=5e-4)
+        got_rel = np.asarray(pred_rel)[0][want_ei[0], want_ei[1]]
+        np.testing.assert_allclose(got_rel, want_rel.numpy(), atol=5e-4)
+
+    def test_export_rejects_unconvertible_backbone(self, tmp_path):
+        """A ViT-backbone state has no PoseNetX_R2 representation — the
+        exporter must fail loudly, not write a partial .pth.tar."""
+        from relpose_gnn_tpu.models import convert as tc
+        with pytest.raises(ValueError, match="cannot export"):
+            tc.export_relpose_gnn({"vit_encoder": {}, "proj_edge": {}},
+                                  {"encoder": {}})

@@ -162,3 +162,170 @@ class TestNetVLADConversion:
                     for p, v in jax.tree_util.tree_leaves_with_path(tree)}
 
         assert paths(ref["params"]) == paths(params)
+
+
+class TestViTConversion:
+    """convert_vit: timm/DINOv2 layout -> ViTEncoder (fused-qkv split,
+    LayerScale detection, pos-embed interpolation, fail-loud unknowns).
+    VERDICT r4 next #7 — the vit.py load-through-convert claim, made real."""
+
+    DIM, DEPTH, HEADS, PATCH, GRID = 32, 2, 4, 8, (2, 3)
+
+    def _oracle_and_params(self, layer_scale=False, seed=0):
+        from torch_ref import TorchMiniViT
+        torch.manual_seed(seed)
+        tm = TorchMiniViT(self.DIM, self.DEPTH, self.HEADS, self.PATCH,
+                          self.GRID, layer_scale=layer_scale).eval()
+        # non-trivial weights everywhere (default init zeros cls/pos and
+        # ones gammas -> those legs of the parity would be vacuous)
+        with torch.no_grad():
+            for p in tm.parameters():
+                p.add_(torch.randn_like(p) * 0.05)
+        params, got_ls = convert.convert_vit(sd_numpy(tm),
+                                             heads=self.HEADS)
+        assert got_ls == layer_scale
+        return tm, params
+
+    def _flax_cls(self, params, x_nhwc, layer_scale):
+        """Run ViTEncoder with fc pinned to identity so the output IS the
+        post-norm CLS token (the fc head has no torch counterpart)."""
+        from relpose_gnn_tpu.models.vit import ViTEncoder
+        m = ViTEncoder(feat_dim=self.DIM, patch=self.PATCH, dim=self.DIM,
+                       depth=self.DEPTH, heads=self.HEADS,
+                       layer_scale=layer_scale)
+        full = dict(params, fc={"kernel": np.eye(self.DIM, dtype=np.float32),
+                                "bias": np.zeros(self.DIM, np.float32)})
+        return m.apply({"params": full}, jnp.asarray(x_nhwc))
+
+    @pytest.mark.parametrize("layer_scale", [False, True])
+    def test_forward_parity(self, layer_scale):
+        tm, params = self._oracle_and_params(layer_scale)
+        rng = np.random.default_rng(1)
+        gh, gw = self.GRID
+        x = rng.normal(size=(2, 3, gh * self.PATCH, gw * self.PATCH)) \
+            .astype(np.float32)
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x)).numpy()
+        got = np.asarray(self._flax_cls(params, x.transpose(0, 2, 3, 1),
+                                        layer_scale))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_structure_matches_init(self):
+        """Converted tree == ViTEncoder.init structure minus the
+        from-scratch fc head (the load_vit_weights merge contract)."""
+        from relpose_gnn_tpu.models.vit import ViTEncoder
+        _, params = self._oracle_and_params()
+        m = ViTEncoder(feat_dim=16, patch=self.PATCH, dim=self.DIM,
+                       depth=self.DEPTH, heads=self.HEADS)
+        gh, gw = self.GRID
+        ref = m.init(jax.random.PRNGKey(0),
+                     jnp.ones((1, gh * self.PATCH, gw * self.PATCH, 3)))
+
+        def paths(tree):
+            return {jax.tree_util.keystr(p): tuple(v.shape)
+                    for p, v in jax.tree_util.tree_leaves_with_path(tree)}
+        want = {k: s for k, s in paths(ref["params"]).items()
+                if not k.startswith("['fc']")}
+        assert paths(params) == want
+
+    def test_pos_embed_interpolation(self):
+        """grid_hw resizes the table (CLS slot untouched); same-size is
+        bitwise; non-square without old_hw fails loudly."""
+        pos = np.random.default_rng(2).normal(
+            size=(1, 10, 8)).astype(np.float32)  # 9 patches = 3x3
+        same = convert.interpolate_pos_embed(pos, (3, 3))
+        np.testing.assert_array_equal(same, pos)
+        up = convert.interpolate_pos_embed(pos, (4, 5))
+        assert up.shape == (1, 21, 8)
+        np.testing.assert_array_equal(up[:, 0], pos[:, 0])
+        rect = np.random.default_rng(3).normal(
+            size=(1, 7, 8)).astype(np.float32)  # 6 patches: not square
+        with pytest.raises(ValueError, match="not square"):
+            convert.interpolate_pos_embed(rect, (2, 3))
+        ok = convert.interpolate_pos_embed(rect, (3, 2), old_hw=(2, 3))
+        assert ok.shape == (1, 7, 8)
+
+    def test_convert_with_grid_hw(self):
+        """End-to-end: a 'square-pretrained' checkpoint loads at a
+        rectangular grid via grid_hw and the model runs."""
+        from torch_ref import TorchMiniViT
+        torch.manual_seed(4)
+        tm = TorchMiniViT(self.DIM, self.DEPTH, self.HEADS, self.PATCH,
+                          grid=(2, 2))
+        params, _ = convert.convert_vit(sd_numpy(tm), heads=self.HEADS,
+                                        grid_hw=self.GRID)
+        gh, gw = self.GRID
+        assert params["pos_embed"].shape == (1, gh * gw + 1, self.DIM)
+        out = self._flax_cls(params,
+                             np.ones((1, gh * self.PATCH,
+                                      gw * self.PATCH, 3), np.float32),
+                             layer_scale=False)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_unknown_keys_fail_loudly(self):
+        from torch_ref import TorchMiniViT
+        sd = sd_numpy(TorchMiniViT(self.DIM, self.DEPTH, self.HEADS,
+                                   self.PATCH, self.GRID))
+        sd["blocks.0.attn.q_norm.weight"] = np.ones(self.DIM, np.float32)
+        with pytest.raises(ValueError, match="unconsumed"):
+            convert.convert_vit(sd, heads=self.HEADS)
+
+
+class TestLoadViTWeights:
+    """training/checkpoints.py::load_vit_weights — the warm-start entry."""
+
+    class _State:
+        def __init__(self, params):
+            self.params = params
+
+        def replace(self, params):
+            return TestLoadViTWeights._State(params)
+
+    def _setup(self, tmp_path, layer_scale=False, model_ls=None):
+        from torch_ref import TorchMiniViT
+        from relpose_gnn_tpu.models.vit import ViTEncoder
+        torch.manual_seed(5)
+        tm = TorchMiniViT(32, 2, 4, 8, (2, 3), layer_scale=layer_scale)
+        path = str(tmp_path / "vit.pth")
+        torch.save(tm.state_dict(), path)
+        m = ViTEncoder(feat_dim=16, patch=8, dim=32, depth=2, heads=4,
+                       layer_scale=layer_scale if model_ls is None
+                       else model_ls)
+        enc = m.init(jax.random.PRNGKey(1),
+                     jnp.ones((1, 16, 24, 3)))["params"]
+        enc = jax.tree.map(np.asarray, dict(enc))
+        state = self._State({"model": {"encoder": enc}})
+        return tm, path, state
+
+    def test_warm_start_covers_all_but_fc(self, tmp_path):
+        from relpose_gnn_tpu.training import checkpoints as ckpt
+        tm, path, state = self._setup(tmp_path)
+        old_fc = state.params["model"]["encoder"]["fc"]
+        new = ckpt.load_vit_weights(state, path, heads=4)
+        enc = new.params["model"]["encoder"]
+        np.testing.assert_array_equal(
+            enc["patch_embed"]["kernel"],
+            convert.conv_kernel(tm.state_dict()["patch_embed.proj.weight"]))
+        # fc head untouched (trained from scratch)
+        np.testing.assert_array_equal(enc["fc"]["kernel"], old_fc["kernel"])
+
+    def test_layer_scale_mismatch_fails(self, tmp_path):
+        from relpose_gnn_tpu.training import checkpoints as ckpt
+        _, path, state = self._setup(tmp_path, layer_scale=True,
+                                     model_ls=False)
+        with pytest.raises(ValueError, match="LayerScale"):
+            ckpt.load_vit_weights(state, path, heads=4)
+
+    def test_pos_grid_mismatch_points_at_grid_hw(self, tmp_path):
+        from torch_ref import TorchMiniViT
+        from relpose_gnn_tpu.training import checkpoints as ckpt
+        torch.manual_seed(6)
+        sq = TorchMiniViT(32, 2, 4, 8, (2, 2))  # 224-style square table
+        path = str(tmp_path / "sq.pth")
+        torch.save(sq.state_dict(), path)
+        _, _, state = self._setup(tmp_path)  # model grid is (2, 3)
+        with pytest.raises(ValueError, match="grid_hw"):
+            ckpt.load_vit_weights(state, path, heads=4)
+        new = ckpt.load_vit_weights(state, path, heads=4, grid_hw=(2, 3))
+        assert new.params["model"]["encoder"]["pos_embed"].shape \
+            == (1, 7, 32)

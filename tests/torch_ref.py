@@ -191,3 +191,88 @@ class TorchRelPoseGNN(nn.Module):
         pred = torch.cat([self.fc_xyz(x), self.fc_wpqr(x)], dim=1)
         pred_r = torch.cat([self.fc_xyz_R(e), self.fc_wpqr_R(e)], dim=1)
         return pred, pred_r, edge_index
+
+
+class TorchMiniViT(nn.Module):
+    """timm/DINOv2-layout ViT oracle for convert.convert_vit: fused-qkv
+    attention, pre-norm blocks, optional LayerScale gammas.  State-dict
+    names follow timm's vision_transformer.py conventions (cls_token,
+    pos_embed, patch_embed.proj, blocks.N.{norm1,attn.qkv,attn.proj,
+    norm2,mlp.fc1,mlp.fc2[,ls1,ls2]}, norm).  Math matches
+    models/vit.py::ViTEncoder exactly: LayerNorm eps 1e-6 (flax default;
+    torch's default is 1e-5) and tanh-approximate GELU (jax.nn.gelu
+    default), so parity tests can assert tightly.  forward returns the
+    post-norm CLS token — the flax model's from-scratch `fc` head has no
+    torch counterpart."""
+
+    class _Block(nn.Module):
+        def __init__(self, dim, heads, layer_scale):
+            super().__init__()
+            self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+            self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+
+            class Attn(nn.Module):
+                def __init__(self):
+                    super().__init__()
+                    self.qkv = nn.Linear(dim, 3 * dim)
+                    self.proj = nn.Linear(dim, dim)
+
+            class Mlp(nn.Module):
+                def __init__(self):
+                    super().__init__()
+                    self.fc1 = nn.Linear(dim, 4 * dim)
+                    self.fc2 = nn.Linear(4 * dim, dim)
+
+            self.attn, self.mlp = Attn(), Mlp()
+            self.heads = heads
+            if layer_scale:
+
+                class LS(nn.Module):
+                    def __init__(self):
+                        super().__init__()
+                        self.gamma = nn.Parameter(torch.ones(dim))
+
+                self.ls1, self.ls2 = LS(), LS()
+            else:
+                self.ls1 = self.ls2 = None
+
+        def forward(self, x):
+            n, t, d = x.shape
+            h, dh = self.heads, d // self.heads
+            qkv = self.attn.qkv(self.norm1(x))
+            q, k, v = qkv.reshape(n, t, 3, h, dh).permute(2, 0, 3, 1, 4)
+            att = torch.softmax(q @ k.transpose(-2, -1) / dh ** 0.5, -1)
+            y = (att @ v).transpose(1, 2).reshape(n, t, d)
+            y = self.attn.proj(y)
+            if self.ls1 is not None:
+                y = y * self.ls1.gamma
+            x = x + y
+            y = self.mlp.fc2(F.gelu(self.mlp.fc1(self.norm2(x)),
+                                    approximate="tanh"))
+            if self.ls2 is not None:
+                y = y * self.ls2.gamma
+            return x + y
+
+    def __init__(self, dim=32, depth=2, heads=4, patch=8, grid=(2, 3),
+                 layer_scale=False):
+        super().__init__()
+        n_tok = grid[0] * grid[1] + 1
+        self.cls_token = nn.Parameter(torch.zeros(1, 1, dim))
+        self.pos_embed = nn.Parameter(torch.zeros(1, n_tok, dim))
+
+        class PatchEmbed(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.proj = nn.Conv2d(3, dim, patch, patch)
+
+        self.patch_embed = PatchEmbed()
+        self.blocks = nn.Sequential(*[
+            self._Block(dim, heads, layer_scale) for _ in range(depth)])
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+
+    def forward(self, x):  # [N, 3, H, W] -> [N, D] post-norm CLS
+        x = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+        x = torch.cat([self.cls_token.expand(x.shape[0], -1, -1), x], 1)
+        x = x + self.pos_embed
+        x = self.blocks(x)
+        return self.norm(x)[:, 0]
