@@ -1,0 +1,165 @@
+"""Sharded serving database: capacity scaling across chips.
+
+The serving tables were replicated per device (VERDICT r4 missing #3):
+NetVLAD descriptors are [M, 32768] f32 = 128 KB/frame, backbone
+embeddings [M, D] up to 8 KB/frame — replicated, a ~100k-frame database
+already exceeds one v5e's HBM, so multi-chip bought throughput only,
+never capacity.  This module shards the two big tables over a mesh axis
+and keeps retrieval exact.  Reference cost being scaled:
+dataset_7Scenes_multi.py:240-243 (the cosine-similarity ranking over the
+whole scene database).
+
+Design (everything rides ICI; the tables never move):
+
+  * `desc` and `emb` shard dim 0 (M) over the mesh's data axis; `poses`
+    [M, 6] f32 and `valid` [M] bool stay replicated (25 B/frame — 25 MB
+    at 1M frames, vs 136 GB for the sharded tables).
+  * retrieval: per-shard local similarities [B, M/n] -> per-shard top-C
+    with GLOBAL indices -> `all_gather` of the tiny candidate lists
+    (values + indices, [n, B, C]) -> every device merges the same
+    top-W window -> the dense path's strided / stochastic selection on
+    it.  The merge is deterministic and identical on every device, so
+    the output is replicated without a broadcast.
+  * embedding lookup: each shard masks-and-gathers the selected rows it
+    owns; one `psum` stitches the full [B, K, D].  The classic sharded
+    table lookup — [M, D] never materializes on one chip.
+
+Exactness vs the replicated layout (tests/test_sharded_db.py):
+
+  * each similarity row-dot is computed whole on one device;
+  * the merged ranking reproduces the dense tie rule (equal values ->
+    lower global index first): the gathered candidate list is
+    shard-major and per-shard rank-minor, so position order on ties IS
+    global-index order, and `top_k` breaks ties lower-position-first;
+  * per mode, the ranking KEY matches the dense path bit-for-bit:
+    deterministic ranks raw `sim` (dense masks with -inf), stochastic
+    ranks `-(1 - sim)` (the dense windowed path's negated argsort key —
+    `1 - sim` is NOT a monotone bijection in floats, so the two modes'
+    keys must not be unified);
+  * the stochastic drop mask/strides are drawn OUTSIDE the shard_map
+    from the same rng split as the dense path, over the same
+    chunk-rounded window (`_drop_mask` prefix contract) — so the
+    selection is bit-identical to the dense windowed path whenever the
+    window suffices.  The dense path's full-M recompute fallback does
+    not exist here (a distributed stable full sort is not worth its
+    cost at P[shortfall] ~ 1e-31 per query at candidates=256): on
+    shortfall the window's clamp semantics apply (tail repeats the best
+    selected candidate).  `retrieval_candidates` is therefore REQUIRED
+    in sharded stochastic mode.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from relpose_gnn_tpu.retrieval.subsample import (_MASK_CHUNK, _drop_mask,
+                                                 _select_ranked_batch)
+
+
+def axis_size(mesh, axis: str) -> int:
+    return dict(zip(mesh.axis_names,
+                    getattr(mesh, "axis_sizes", None)
+                    or mesh.devices.shape))[axis]
+
+
+def stochastic_window(m: int, k: int, candidates: int) -> int:
+    """The dense windowed path's chunk-rounded candidate window
+    (subsample_neighbors_batch) — the sharded merge must use the same
+    width or the drop-mask prefix contract breaks."""
+    return min(m, ((max(int(candidates), k) + _MASK_CHUNK - 1)
+                   // _MASK_CHUNK) * _MASK_CHUNK)
+
+
+def select_and_lookup(q_desc: jax.Array, desc: jax.Array, emb: jax.Array,
+                      valid: jax.Array, *, mesh, axis: str, k: int,
+                      sampling_period: int, deterministic: bool,
+                      candidates: int | None, rng: jax.Array
+                      ) -> tuple[jax.Array, jax.Array]:
+    """Neighbor selection + embedding lookup against sharded tables.
+
+    q_desc [B, Dv] (any sharding; re-replicated at the shard_map
+    boundary), desc [M, Dv] / emb [M, D] sharded P(axis, None),
+    valid [M] replicated.  Returns (nbrs [B, k] int32, nbr_emb
+    [B, k, D]) — both replicated.  Semantics match the dense selection
+    in RelocalizationService._make_query_fn per mode (see module
+    docstring for the exactness argument).
+    """
+    b = q_desc.shape[0]
+    m = desc.shape[0]
+    n = axis_size(mesh, axis)
+    if m % n != 0:
+        raise ValueError(
+            f"sharded database: M={m} must divide the '{axis}' axis "
+            f"(size {n}) — pad the capacity to a multiple")
+    m_l = m // n
+
+    if deterministic:
+        window = min((k - 1) * sampling_period + 1, m)
+        drop_bits = jnp.zeros((b, window), bool)  # unused
+        starts = jnp.zeros((b,), jnp.int32)       # unused
+    else:
+        if candidates is None:
+            raise ValueError(
+                "sharded-database stochastic retrieval requires "
+                "ServiceConfig.retrieval_candidates (the full-M argsort "
+                "fallback would gather the sharded tables)")
+        window = stochastic_window(m, k, candidates)
+        drop_rng, start_rng = jax.random.split(rng)
+        starts = jax.random.randint(start_rng, (b,), 0, sampling_period)
+        drop_bits = _drop_mask(drop_rng, b, window)
+    c_l = min(window, m_l)
+
+    def body(qd, desc_l, emb_l, valid_l, drop_bits, starts):
+        i = jax.lax.axis_index(axis)
+        sim = qd @ desc_l.T                              # [B, m_l]
+        if deterministic:
+            val = jnp.where(valid_l[None, :], sim, -jnp.inf)
+        else:
+            # the dense windowed path ranks by top_k(-(1 - sim)); the
+            # invalid key is +inf there, -inf after negation
+            val = jnp.where(valid_l[None, :], -(1.0 - sim), -jnp.inf)
+        vals_l, loc = jax.lax.top_k(val, c_l)            # [B, c_l]
+        gidx_l = loc.astype(jnp.int32) + i * m_l
+        # tiny candidate lists move, the tables don't: [n, B, c_l]
+        vals_all = jax.lax.all_gather(vals_l, axis)
+        gidx_all = jax.lax.all_gather(gidx_l, axis)
+        # shard-major, rank-minor: position order on value ties is
+        # global-index order, matching the dense stable tie rule
+        vals_all = jnp.moveaxis(vals_all, 0, 1).reshape(b, n * c_l)
+        gidx_all = jnp.moveaxis(gidx_all, 0, 1).reshape(b, n * c_l)
+        top_vals, pos = jax.lax.top_k(vals_all, window)
+        order = jnp.take_along_axis(gidx_all, pos, axis=1)  # [B, W]
+        inv_sorted = jnp.isinf(top_vals)
+
+        if deterministic:
+            n_valid = jax.lax.psum(jnp.sum(valid_l.astype(jnp.int32)),
+                                   axis)
+            ranks = jnp.arange(k, dtype=jnp.int32) * sampling_period
+            ranks = jnp.minimum(ranks, jnp.maximum(n_valid - 1, 0))
+            ranks = jnp.minimum(ranks, window - 1)
+            nbrs = jnp.take(order, ranks, axis=1)        # [B, k]
+        else:
+            nbrs, _ = _select_ranked_batch(order, inv_sorted, drop_bits,
+                                           starts, k, sampling_period)
+
+        # sharded table lookup: exactly one shard owns each row; the
+        # psum adds zeros elsewhere (bitwise-preserving up to -0.0)
+        loc_k = nbrs - i * m_l
+        owned = (loc_k >= 0) & (loc_k < m_l)
+        rows = jnp.take(emb_l, jnp.clip(loc_k, 0, m_l - 1), axis=0)
+        rows = jnp.where(owned[..., None],
+                         rows, jnp.zeros((), rows.dtype))
+        nbr_emb = jax.lax.psum(rows, axis)               # [B, k, D]
+        return nbrs, nbr_emb
+
+    sm = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, None), P(axis, None), P(axis, None), P(axis),
+                  P(None, None), P(None)),
+        out_specs=(P(None, None), P(None, None, None)),
+        check_vma=False)  # outputs are provably identical across the
+    #                       axis (merged from all_gathered candidates /
+    #                       psum), asserted by tests, not by vma
+    return sm(q_desc, desc, emb, valid, drop_bits, starts)
