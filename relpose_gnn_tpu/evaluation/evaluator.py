@@ -83,9 +83,11 @@ def evaluate_dataset(eval_step: Callable, state, batches: Iterable[dict],
                      pose_mean: np.ndarray | None = None,
                      pose_std: np.ndarray | None = None) -> PoseErrors:
     """Run the jitted eval step over an iterable of batches and reduce."""
+    from relpose_gnn_tpu.training.trainer import check_fuse_ok
     preds, targs = [], []
     for batch in batches:
         out = eval_step(state, batch)
+        check_fuse_ok(out, "evaluate_dataset")
         preds.append(np.asarray(out["pred"]))
         targs.append(np.asarray(out["target"]))
     return compute_pose_errors(np.concatenate(preds), np.concatenate(targs),

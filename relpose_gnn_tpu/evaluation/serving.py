@@ -138,6 +138,8 @@ def evaluate_scene_cached(model: RelPoseGNN, variables,
             "adj": jnp.asarray(batch["adj"])}, n_valid)
         out = step(variables, dev["q"], dev["emb"], dev["poses"],
                    dev["adj"])
+        from relpose_gnn_tpu.training.trainer import check_fuse_ok
+        check_fuse_ok(out, "evaluate_scene_cached")
         preds.append(np.asarray(out["pred"])[:n_valid])
         targets.append(batch["poses"][:, 0])
     return {"pred": np.concatenate(preds),
@@ -214,6 +216,10 @@ def make_cached_eval_step(model: RelPoseGNN, ref_node: int = 0,
             # model's returned adj, so this one must too)
             mask = adj_eff[:, :, ref_node]                   # [B, N]
             pred = fuse_pose_estimates(est, mask, fuse)
+            # fuse precondition (trainer.fuse_pose_estimates): a zero-
+            # edge row silently fuses to garbage; the host loop raises
+            return {"pred": pred, "nbr": nbr,
+                    "fuse_ok": jnp.all(jnp.sum(mask, axis=1) >= 1)}
         return {"pred": pred, "nbr": nbr}
 
     return eval_step

@@ -197,7 +197,13 @@ def fuse_pose_estimates(est: jax.Array, mask: jax.Array,
     this mean, so it is the PGO-optimal fusion (see make_eval_step's
     docstring).  fuse='median' is the masked per-dimension median.
     Shared by the full-pixel eval step and the cached-serving step
-    (evaluation/serving.py) so both paths fuse identically."""
+    (evaluation/serving.py) so both paths fuse identically.
+
+    PRECONDITION: every row needs >= 1 incoming edge (mask.sum(1) >= 1).
+    A zero-edge row silently fuses to an all-zero pose (mean) or +inf
+    (median) — garbage medians with no error — so both eval steps emit a
+    `fuse_ok` flag and their host loops raise on it (ADVICE r4 #4); a
+    pathological/rebuilt adjacency cannot slip through."""
     if fuse == "mean":
         w = mask.astype(est.dtype)[..., None]
         return jnp.sum(est * w, 1) / jnp.maximum(jnp.sum(w, 1), 1.0)
@@ -211,6 +217,19 @@ def fuse_pose_estimates(est: jax.Array, mask: jax.Array,
     take = lambda k: jnp.take_along_axis(  # noqa: E731
         srt, k[:, None, None].repeat(6, 2), axis=1)[:, 0]
     return 0.5 * (take(lo) + take(hi))
+
+
+def check_fuse_ok(out: dict, where: str) -> None:
+    """Host-side guard on an eval step's `fuse_ok` flag (see
+    fuse_pose_estimates' PRECONDITION).  No-op for outputs without the
+    flag (fuse='first' never fuses over a mask)."""
+    if "fuse_ok" in out and not bool(out["fuse_ok"]):
+        raise ValueError(
+            f"{where}: a query row has ZERO incoming edges in the fuse "
+            "mask — fuse='mean'/'median' would silently produce an "
+            "all-zero pose or +inf median for it. The adjacency feeding "
+            "this eval is pathological (or was rebuilt with knn too "
+            "small); fix the graph construction")
 
 
 def make_eval_step(ref_node: int = 0, fuse: str = "first",
@@ -255,6 +274,7 @@ def make_eval_step(ref_node: int = 0, fuse: str = "first",
             feats = aux["node_feats"]
             nbr = graph_ops.nearest_neighbor(feats, node=ref_node)  # [B]
         b = pred_rel.shape[0]
+        out = {}
         if fuse == "first":
             rp = pred_rel[jnp.arange(b), nbr, ref_node]         # [B, 6]
             anchor = batch["poses"][jnp.arange(b), nbr]         # GT neighbor
@@ -264,8 +284,13 @@ def make_eval_step(ref_node: int = 0, fuse: str = "first",
             est = batch["poses"] - pred_rel[:, :, ref_node]     # [B, N, 6]
             mask = adj[:, :, ref_node]                          # [B, N]
             pred_query = fuse_pose_estimates(est, mask, fuse)
+            # fuse precondition (see fuse_pose_estimates): a zero-edge
+            # row fuses to garbage silently; one cheap reduce lets the
+            # host loop fail loudly instead
+            out["fuse_ok"] = jnp.all(jnp.sum(mask, axis=1) >= 1)
         target_query = batch["poses"][:, ref_node]
-        return {"pred": pred_query, "target": target_query,
-                "pred_abs": pred_abs[:, ref_node], "nbr": nbr}
+        out.update({"pred": pred_query, "target": target_query,
+                    "pred_abs": pred_abs[:, ref_node], "nbr": nbr})
+        return out
 
     return eval_step

@@ -351,3 +351,55 @@ class TestMultiScene:
             np.testing.assert_array_equal(g["neighbors"],
                                           np.asarray(w["neighbors"]))
             np.testing.assert_array_equal(g["pose"], np.asarray(w["pose"]))
+
+
+class TestMultiSceneBindingGuards:
+    """Round-5 snapshot/resolution binding on the multiscene surface
+    (ADVICE r4 #1): per-scene hw travels with the database and the
+    snapshot carries the model fingerprint."""
+
+    def _service(self):
+        model, mv, nv, nvv, cfg = make_parts(deterministic=True,
+                                             capacity=16)
+        ms = MultiSceneService(model, mv, nv, nvv, cfg)
+        imgs, poses = scene_data(8, seed=11)
+        ms.add_scene("a", imgs, poses, *STATS_A, batch=4)
+        return ms, imgs, poses
+
+    def test_query_rejects_mismatched_resolution(self):
+        ms, _, _ = self._service()
+        q = np.random.default_rng(0).random((2, 16, 20, 3)).astype(
+            np.float32)
+        with pytest.raises(ValueError, match="embedded at"):
+            ms.query("a", q)
+
+    def test_add_frames_rejects_mismatched_resolution(self):
+        ms, _, poses = self._service()
+        bad = np.random.default_rng(1).random((2, 16, 20, 3)).astype(
+            np.float32)
+        with pytest.raises(ValueError, match="embedded at"):
+            ms.add_frames("a", bad, poses[:2], batch=2)
+
+    def test_load_rejects_different_weights(self, tmp_path):
+        ms, _, _ = self._service()
+        path = str(tmp_path / "ms.npz")
+        ms.save_database(path)
+        model, mv, nv, nvv, cfg = make_parts(deterministic=True,
+                                             capacity=16)
+        mv = jax.tree.map(lambda x: x * 1.5 + 0.01, mv)
+        dst = MultiSceneService(model, mv, nv, nvv, cfg)
+        with pytest.raises(ValueError, match="WEIGHTS"):
+            dst.load_database(path)
+
+    def test_hw_survives_save_load(self, tmp_path):
+        ms, _, _ = self._service()
+        path = str(tmp_path / "ms.npz")
+        ms.save_database(path)
+        model, mv, nv, nvv, cfg = make_parts(deterministic=True,
+                                             capacity=16)
+        dst = MultiSceneService(model, mv, nv, nvv, cfg)
+        dst.load_database(path)
+        bad = np.random.default_rng(2).random((1, 16, 20, 3)).astype(
+            np.float32)
+        with pytest.raises(ValueError, match="embedded at"):
+            dst.query("a", bad)

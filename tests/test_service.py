@@ -771,3 +771,106 @@ class TestDatabasePersistence:
         np.testing.assert_array_equal(
             np.asarray(src.db_emb.astype(jnp.float32)),
             np.asarray(dst.db_emb.astype(jnp.float32)))
+
+
+class TestSnapshotBindingGuards:
+    """ADVICE r4 #1/#2/#3: snapshots bind to the model weights +
+    embed resolution, the loader type is validated, and query_compiles
+    no longer rides a private jit API."""
+
+    def _built(self, m=8, seed=7, **kw):
+        rng = np.random.default_rng(seed)
+        db = rng.random((m, 32, 40, 3)).astype(np.float32)
+        poses = rng.normal(size=(m, 6)).astype(np.float32)
+        svc = build_service(deterministic=True, **kw)
+        svc.build(db, poses, model_norm, batch=4)
+        return svc, db, poses
+
+    def test_load_rejects_different_weights(self, tmp_path):
+        """A snapshot's db_emb (and shared-trunk desc) are functions of
+        the model WEIGHTS: loading it under perturbed weights must fail
+        loudly instead of silently ranking garbage."""
+        svc, _, _ = self._built()
+        path = str(tmp_path / "db.npz")
+        svc.save_database(path)
+        dst = build_service(deterministic=True)
+        dst.model_vars = jax.tree.map(lambda x: x * 1.5 + 0.01,
+                                      dst.model_vars)
+        with pytest.raises(ValueError, match="WEIGHTS"):
+            dst.load_database(path)
+
+    def test_load_rejects_different_structure(self, tmp_path):
+        """Different parameter structure (here: a bf16-cast variables
+        tree, i.e. a different model config) fails on the exact
+        structure hash before the value checksum."""
+        svc, _, _ = self._built()
+        path = str(tmp_path / "db.npz")
+        svc.save_database(path)
+        dst = build_service(deterministic=True)
+        dst.model_vars = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16), dst.model_vars)
+        with pytest.raises(ValueError, match="parameter structure"):
+            dst.load_database(path)
+
+    def test_load_accepts_prefingerprint_snapshot(self, tmp_path):
+        """Round-4 snapshots carry no fingerprint keys — they must keep
+        loading (their retrieval/hw guards still apply)."""
+        svc, db, _ = self._built()
+        path = str(tmp_path / "db.npz")
+        svc.save_database(path)
+        z = dict(np.load(path))
+        for k in ("model_struct", "model_checksum", "built_hw"):
+            z.pop(k)
+        old = str(tmp_path / "old.npz")
+        np.savez(old, **z)
+        dst = build_service(deterministic=True)
+        dst.load_database(old)
+        out = dst.query(db[2:4], model_norm)
+        assert np.isfinite(np.asarray(out["pose"])).all()
+
+    def test_query_rejects_mismatched_resolution(self):
+        """Backbone embeddings are resolution-dependent: a query at a
+        different H,W than the database was embedded at would silently
+        produce garbage similarities."""
+        svc, _, _ = self._built()
+        q = np.random.default_rng(0).random((2, 16, 20, 3)).astype(
+            np.float32)
+        with pytest.raises(ValueError, match="embedded at"):
+            svc.query(q, model_norm)
+
+    def test_add_frames_rejects_mismatched_resolution(self):
+        svc, _, _ = self._built(capacity=16)
+        rng = np.random.default_rng(1)
+        imgs = rng.random((2, 16, 20, 3)).astype(np.float32)
+        poses = rng.normal(size=(2, 6)).astype(np.float32)
+        with pytest.raises(ValueError, match="embedded at"):
+            svc.add_frames(imgs, poses, model_norm, batch=2)
+
+    def test_load_rejects_multiscene_snapshot(self, tmp_path):
+        """Symmetric fail-loud contract to the multiscene loader's
+        'no scenes key' diagnostic (was a bare KeyError)."""
+        path = str(tmp_path / "ms.npz")
+        np.savez(path, scenes=np.asarray(["a"]))
+        svc = build_service()
+        with pytest.raises(ValueError, match="MultiSceneService"):
+            svc.load_database(path)
+
+    def test_load_rejects_foreign_npz(self, tmp_path):
+        path = str(tmp_path / "junk.npz")
+        np.savez(path, foo=np.zeros(3))
+        svc = build_service()
+        with pytest.raises(ValueError, match="not a Relocalization"):
+            svc.load_database(path)
+
+    def test_query_compiles_counts_without_private_api(self):
+        """query_compiles is an explicit trace-time counter; while the
+        private jit _cache_size API still exists the two must agree."""
+        svc, db, _ = self._built()
+        svc.query(db[:2], model_norm)
+        svc.query(db[2:4], model_norm)  # same shape: no new trace
+        assert svc.query_compiles() == 1
+        cache_size = getattr(svc._query_fn, "_cache_size", None)
+        if cache_size is not None:
+            assert cache_size() == svc.query_compiles()
+        svc.query(db[:3], model_norm)  # new batch shape: one new trace
+        assert svc.query_compiles() == 2

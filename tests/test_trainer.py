@@ -271,3 +271,43 @@ class TestGradAccum:
         state, _ = step(state, batch, jax.random.PRNGKey(1))
         p2 = np.asarray(jax.tree.leaves(state.params["model"])[0])
         assert not np.array_equal(p1, p2)      # k-th micro-step applies
+
+
+class TestFuseOkGuard:
+    """ADVICE r4 #4: fuse='mean'/'median' silently produces garbage for
+    a query row with zero incoming edges — the eval step emits fuse_ok
+    and check_fuse_ok raises on it host-side."""
+
+    def _state_and_batch(self):
+        model = tiny_model(knn=0)
+        tcfg = TrainerConfig(steps_per_epoch=10)
+        batch = tiny_batch(b=2)
+        state = create_train_state(jax.random.PRNGKey(0), model, tcfg,
+                                   batch["images"], batch["adj"])
+        return state, batch
+
+    def test_healthy_adjacency_is_ok(self):
+        from relpose_gnn_tpu.training.trainer import check_fuse_ok
+        state, batch = self._state_and_batch()
+        out = make_eval_step(fuse="mean")(state, batch)
+        assert bool(out["fuse_ok"])
+        check_fuse_ok(out, "test")  # no-op
+
+    def test_zero_edge_row_fails_loudly(self):
+        import pytest
+        from relpose_gnn_tpu.training.trainer import check_fuse_ok
+        state, batch = self._state_and_batch()
+        adj = np.asarray(batch["adj"]).copy()
+        adj[0, :, 0] = False  # row 0's query node: no incoming edges
+        batch = dict(batch, adj=jnp.asarray(adj))
+        out = make_eval_step(fuse="mean")(state, batch)
+        assert not bool(out["fuse_ok"])
+        with pytest.raises(ValueError, match="ZERO incoming"):
+            check_fuse_ok(out, "test")
+
+    def test_first_mode_has_no_flag(self):
+        from relpose_gnn_tpu.training.trainer import check_fuse_ok
+        state, batch = self._state_and_batch()
+        out = make_eval_step(fuse="first")(state, batch)
+        assert "fuse_ok" not in out
+        check_fuse_ok(out, "test")  # no-op
