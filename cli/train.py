@@ -61,6 +61,11 @@ def parse_args(argv):
     p.add_argument("--process-id", type=int, default=0)
     p.add_argument("--local-device-count", type=int, default=0,
                    help="virtual devices per process (CPU rigs only)")
+    p.add_argument("--device-cache", action="store_true",
+                   help="pin the packed stores in HBM once and gather "
+                        "batches on device (zero per-step H2D image "
+                        "traffic; single-chip only, bitwise equal to the "
+                        "host feed — data/device_cache.py)")
     p.add_argument("--resume", action="store_true",
                    help="restore the latest full TrainState (params + "
                         "optimizer moments + step) from the checkpoint "
@@ -108,7 +113,8 @@ def main(argv=None):
         pose_stats_file=args.pose_stat_path, dtype=args.dtype,
         backbone=args.backbone, feat_dim=args.feat_dim,
         mesh_data=args.mesh_data, mesh_model=args.mesh_model,
-        resume=args.resume, ckpt_dir=args.ckpt_dir)
+        resume=args.resume, ckpt_dir=args.ckpt_dir,
+        device_cache=args.device_cache)
     out = run_training(cfg)
     for scene, b in out["best"].items():
         print(f"{scene}: best median t {b['median_t']:.3f} m, "

@@ -27,6 +27,7 @@ from relpose_gnn_tpu.evaluation.evaluator import (compute_pose_errors,
 from relpose_gnn_tpu.models.posenet import RelPoseGNN, RelPoseGNNConfig
 from relpose_gnn_tpu.training import checkpoints as ckpt
 from relpose_gnn_tpu.training.trainer import (TrainerConfig,
+                                              check_fuse_ok,
                                               create_train_state,
                                               make_eval_step,
                                               make_train_step)
@@ -96,6 +97,12 @@ class ExperimentConfig:
     #                                    vs the dense grid; exact but keep
     #                                    the dense path reachable for
     #                                    real-data A/B, repo convention)
+    device_cache: bool = False         # pin the train + test stores in HBM
+    #                                    once and gather batches on device
+    #                                    (data/device_cache.py; bitwise
+    #                                    equal to the host feed, tested) —
+    #                                    single-chip only, the mesh path
+    #                                    keeps per-shard host uploads
 
 
 def static_anchor_for(cfg: ExperimentConfig) -> int | None:
@@ -171,7 +178,7 @@ def pose_stats(cfg: ExperimentConfig):
 
 def evaluate_scene(eval_step, state, ds: PackedGraphDataset,
                    batch_size: int, mean_t, std_t, sharding=None,
-                   pad_multiple: int = 1):
+                   pad_multiple: int = 1, cached=None):
     """Batched whole-scene eval.  With `sharding` (multi-chip), EVERY batch
     whose leading dim does not divide `pad_multiple` (the mesh data-axis
     size) is padded by repeating its last graph — when batch_size itself is
@@ -179,9 +186,6 @@ def evaluate_scene(eval_step, state, ds: PackedGraphDataset,
     each batch's output is trimmed back to ITS OWN valid count (trimming
     only the concatenated tail would drop real rows and double-count pad
     rows)."""
-    it = data_iterator(ds, batch_size=batch_size, shuffle=False, epochs=1,
-                       drop_remainder=False)
-
     # sequential un-shuffled batches -> valid counts are deterministic
     n_total = len(ds)
     valid = [batch_size] * (n_total // batch_size)
@@ -201,10 +205,21 @@ def evaluate_scene(eval_step, state, ds: PackedGraphDataset,
     # outputs are sharded across processes and are all-gathered so every
     # host computes the same medians (parallel/multihost.py)
     from relpose_gnn_tpu.parallel.multihost import host_read
+    if cached is not None:
+        # device-resident store (data/device_cache.py): no pad path — the
+        # cached feed is single-chip by contract (module docstring)
+        assert sharding is None and pad_multiple == 1, \
+            "device_cache is single-chip only"
+        batches = (b for b, _ in cached.eval_batches(batch_size))
+    else:
+        it = data_iterator(ds, batch_size=batch_size, shuffle=False,
+                           epochs=1, drop_remainder=False)
+        batches = device_prefetch(padded(it), ds.mean, ds.std,
+                                  sharding=sharding)
     preds, targs = [], []
-    for i, batch in enumerate(device_prefetch(padded(it), ds.mean, ds.std,
-                                              sharding=sharding)):
+    for i, batch in enumerate(batches):
         out = eval_step(state, batch)
+        check_fuse_ok(out, "run_eval")
         preds.append(host_read(out["pred"])[:valid[i]])
         targs.append(host_read(out["target"])[:valid[i]])
     preds = np.concatenate(preds)
@@ -225,7 +240,7 @@ def run_training(cfg: ExperimentConfig) -> dict:
     # same .batch() contract either way
     train_feed = train_ds
     from relpose_gnn_tpu.data import native_io
-    if native_io.available():
+    if native_io.available() and not cfg.device_cache:
         try:
             import os
             roots = [dataset_root(cfg.train_data_dir, s, cfg.dataset,
@@ -338,6 +353,20 @@ def run_training(cfg: ExperimentConfig) -> dict:
     mesh_ctx = (jax.set_mesh(mesh) if batch_shardings is not None
                 else contextlib.nullcontext())
 
+    cached_train = cached_test = None
+    if cfg.device_cache:
+        if batch_shardings is not None:
+            raise ValueError("device_cache is single-chip only; mesh "
+                             "training keeps the per-shard host feed "
+                             "(data/device_cache.py docstring)")
+        from relpose_gnn_tpu.data.device_cache import DeviceCachedFeed
+        cached_train = DeviceCachedFeed(train_ds)
+        cached_test = {s: DeviceCachedFeed(d) for s, d in test_ds.items()}
+        logger.info(
+            "device cache: train %.2f GiB + test %.2f GiB pinned in HBM",
+            cached_train.nbytes / 2**30,
+            sum(c.nbytes for c in cached_test.values()) / 2**30)
+
     best = {s: {"median_t": 1e6, "median_q": 1e6} for s in test_ds}
     if start_epoch > 0:
         # a resumed run's reported best must cover the pre-interruption
@@ -349,7 +378,9 @@ def run_training(cfg: ExperimentConfig) -> dict:
                               test_ds, batch_size, state, train_step,
                               eval_step, batch_shardings, sync_steps,
                               mean_t, std_t, rng, best, logdir,
-                              start_epoch=start_epoch)
+                              start_epoch=start_epoch,
+                              cached_train=cached_train,
+                              cached_test=cached_test)
 
 
 def _fold_best_from_metrics(path: str, best: dict) -> None:
@@ -374,18 +405,24 @@ def _fold_best_from_metrics(path: str, best: dict) -> None:
 def _training_loop(cfg, tcfg, logger, metrics_out, train_feed, test_ds,
                    batch_size, state, train_step, eval_step,
                    batch_shardings, sync_steps, mean_t, std_t, rng, best,
-                   logdir, start_epoch: int = 0) -> dict:
+                   logdir, start_epoch: int = 0, cached_train=None,
+                   cached_test=None) -> dict:
     for epoch in range(start_epoch, cfg.max_epoch):
         if cfg.recover_nonfinite:
             epoch_start = jax.tree.map(jnp.copy, (state.params,
                                                   state.opt_state,
                                                   state.batch_stats))
-        it = data_iterator(train_feed, batch_size=batch_size,
-                           seed=cfg.seed + epoch, epochs=1)
+        if cached_train is not None:
+            batches = cached_train.epoch(seed=cfg.seed + epoch,
+                                         batch_size=batch_size)
+        else:
+            it = data_iterator(train_feed, batch_size=batch_size,
+                               seed=cfg.seed + epoch, epochs=1)
+            batches = device_prefetch(it, train_feed.mean, train_feed.std,
+                                      sharding=batch_shardings)
         m = None
         nonfinite = jnp.zeros((), bool)
-        for batch in device_prefetch(it, train_feed.mean, train_feed.std,
-                                     sharding=batch_shardings):
+        for batch in batches:
             state, m = train_step(state, batch, rng)
             # OR-accumulated on device across EVERY step (a transient +/-inf
             # mid-epoch must trigger the rollback even if later steps
@@ -430,7 +467,8 @@ def _training_loop(cfg, tcfg, logger, metrics_out, train_feed, test_ds,
                 err = evaluate_scene(
                     eval_step, state, ds, cfg.batch_size, mean_t, std_t,
                     sharding=batch_shardings,
-                    pad_multiple=cfg.mesh_data if batch_shardings else 1)
+                    pad_multiple=cfg.mesh_data if batch_shardings else 1,
+                    cached=(cached_test or {}).get(s))
                 logger.info("[scene %s epoch %04d] %s", s, epoch, err)
                 # persisted so --resume can reconstruct best-so-far
                 metrics_out.write(int(state.step),
