@@ -61,6 +61,10 @@ def parse_args(argv):
     p.add_argument("--process-id", type=int, default=0)
     p.add_argument("--local-device-count", type=int, default=0,
                    help="virtual devices per process (CPU rigs only)")
+    p.add_argument("--ckpt-every", type=int, default=0,
+                   help="ALSO checkpoint every N epochs (0 = reference "
+                        "cadence 149/199 only); pairs with --resume for "
+                        "preemption-safe long campaigns")
     p.add_argument("--device-cache", action="store_true",
                    help="pin the packed stores in HBM once and gather "
                         "batches on device (zero per-step H2D image "
@@ -114,7 +118,7 @@ def main(argv=None):
         backbone=args.backbone, feat_dim=args.feat_dim,
         mesh_data=args.mesh_data, mesh_model=args.mesh_model,
         resume=args.resume, ckpt_dir=args.ckpt_dir,
-        device_cache=args.device_cache)
+        device_cache=args.device_cache, ckpt_every=args.ckpt_every)
     out = run_training(cfg)
     for scene, b in out["best"].items():
         print(f"{scene}: best median t {b['median_t']:.3f} m, "

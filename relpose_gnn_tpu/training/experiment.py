@@ -50,6 +50,10 @@ class ExperimentConfig:
     max_epoch: int = 200
     eval_after_epoch: int = 100        # train.py:421
     ckpt_epochs: tuple = (149, 199)    # train.py:425
+    ckpt_every: int = 0                # additionally checkpoint every N
+    #                                    epochs (0 = reference behavior):
+    #                                    preemption-safe cadence so long
+    #                                    campaigns chunk through --resume
     seed: int = 0
     knn: int = 4
     droprate: float = 0.5
@@ -452,13 +456,19 @@ def _training_loop(cfg, tcfg, logger, metrics_out, train_feed, test_ds,
                     float(m["loss"]), float(m["t_loss"]),
                     float(m["q_loss"]))
 
-        if epoch in cfg.ckpt_epochs:
+        if epoch in cfg.ckpt_epochs or (
+                cfg.ckpt_every and (epoch + 1) % cfg.ckpt_every == 0):
             # multi-process: every process calls save (each writes its own
             # array shards; Orbax coordinates through the jax.distributed
             # client) — cfg.ckpt_dir must then point at SHARED storage
             # (validated on the 2-process rig, tests/test_multihost.py)
+            # periodic-cadence runs keep everything (Orbax's default
+            # max_to_keep=5 would evict the reference epochs 149/199
+            # under a 10-epoch cadence before the campaign ends)
             ckpt.save_checkpoint(cfg.ckpt_dir or str(logdir / "ckpt"),
-                                 state, epoch)
+                                 state, epoch,
+                                 max_to_keep=(10_000 if cfg.ckpt_every
+                                              else 5))
         if epoch > cfg.eval_after_epoch:
             for s, ds in test_ds.items():
                 # under mesh training, eval shards over `data` too (else
