@@ -61,6 +61,9 @@ def parse_args(argv):
     p.add_argument("--process-id", type=int, default=0)
     p.add_argument("--local-device-count", type=int, default=0,
                    help="virtual devices per process (CPU rigs only)")
+    p.add_argument("--eval-after-epoch", type=int, default=100,
+                   help="in-loop per-scene eval for epochs > this "
+                        "(reference: 100, train.py:421)")
     p.add_argument("--ckpt-every", type=int, default=0,
                    help="ALSO checkpoint every N epochs (0 = reference "
                         "cadence 149/199 only); pairs with --resume for "
@@ -118,7 +121,8 @@ def main(argv=None):
         backbone=args.backbone, feat_dim=args.feat_dim,
         mesh_data=args.mesh_data, mesh_model=args.mesh_model,
         resume=args.resume, ckpt_dir=args.ckpt_dir,
-        device_cache=args.device_cache, ckpt_every=args.ckpt_every)
+        device_cache=args.device_cache, ckpt_every=args.ckpt_every,
+        eval_after_epoch=args.eval_after_epoch)
     out = run_training(cfg)
     for scene, b in out["best"].items():
         print(f"{scene}: best median t {b['median_t']:.3f} m, "

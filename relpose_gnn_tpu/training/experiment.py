@@ -146,16 +146,19 @@ def dataset_root(data_dir: str, scene: str, dataset: str, split: str,
     return osp.join(data_dir, f"{scene}_fc{seq_len}_sp{sp}_{split}")
 
 
+def load_test_datasets(cfg: ExperimentConfig) -> dict:
+    return {s: PackedGraphDataset(
+        dataset_root(cfg.test_data_dir, s, cfg.dataset, "test", cfg.seq_len))
+        for s in scene_lists(cfg)[1]}
+
+
 def load_datasets(cfg: ExperimentConfig):
-    train_scenes, test_scenes = scene_lists(cfg)
+    train_scenes, _ = scene_lists(cfg)
     train_ds = ConcatPackedDataset([
         PackedGraphDataset(dataset_root(cfg.train_data_dir, s, cfg.dataset,
                                         "train", cfg.seq_len))
         for s in train_scenes])
-    test_ds = {s: PackedGraphDataset(
-        dataset_root(cfg.test_data_dir, s, cfg.dataset, "test", cfg.seq_len))
-        for s in test_scenes}
-    return train_ds, test_ds
+    return train_ds, load_test_datasets(cfg)
 
 
 def build_model(cfg: ExperimentConfig) -> RelPoseGNN:
@@ -499,7 +502,9 @@ def run_eval(cfg: ExperimentConfig, weights: str | None = None,
     work."""
     logdir = Path(cfg.save_dir) / cfg.dataset / cfg.test_scene / cfg.exp_name
     logger = get_logger(logfile=str(logdir / "eval.log"))
-    _, test_ds = load_datasets(cfg)
+    # test stores ONLY — eval must not require the train stores to exist
+    # (cli/test.py with --test-scene multi has no 'multi_*_train' store)
+    test_ds = load_test_datasets(cfg)
     model = build_model(cfg)
     tcfg = TrainerConfig()
 
