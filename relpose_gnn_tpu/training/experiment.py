@@ -236,6 +236,19 @@ def evaluate_scene(eval_step, state, ds: PackedGraphDataset,
                                pose_mean=mean_t, pose_std=std_t)
 
 
+def _jit_init(model, cfg: ExperimentConfig, sample: dict):
+    """Jitted model.init on accelerator backends: eager init dispatches one
+    tiny op per param initializer, each paying the dev tunnel's ~30 ms RTT
+    (~95 s for ResNet34; CLAUDE.md).  On CPU keep eager init (tests)."""
+    if jax.default_backend() == "cpu":
+        return None
+    images = jnp.asarray(sample["images"], jnp.float32)
+    adj = jnp.asarray(sample["adj"])
+    return jax.jit(lambda k: model.init({"params": k, "dropout": k},
+                                        images, adj, train=False))(
+        jax.random.PRNGKey(cfg.seed))
+
+
 def run_training(cfg: ExperimentConfig) -> dict:
     logdir = Path(cfg.save_dir) / cfg.dataset / cfg.train_scene / cfg.exp_name
     logger = get_logger(logfile=str(logdir / "logger.log"))
@@ -277,7 +290,9 @@ def run_training(cfg: ExperimentConfig) -> dict:
     sample = train_ds.batch(np.arange(min(2, len(train_ds))))
     state = create_train_state(
         jax.random.PRNGKey(cfg.seed), model, tcfg,
-        jnp.asarray(sample["images"], jnp.float32), jnp.asarray(sample["adj"]))
+        jnp.asarray(sample["images"], jnp.float32),
+        jnp.asarray(sample["adj"]),
+        variables=_jit_init(model, cfg, sample))
     if cfg.weights_filename and osp.isfile(cfg.weights_filename):
         state = ckpt.load_torch_weights(state, cfg.weights_filename)
         logger.info("Loaded weights from %s", cfg.weights_filename)
@@ -512,7 +527,9 @@ def run_eval(cfg: ExperimentConfig, weights: str | None = None,
     sample = any_ds.batch(np.arange(min(2, len(any_ds))))
     state = create_train_state(
         jax.random.PRNGKey(cfg.seed), model, tcfg,
-        jnp.asarray(sample["images"], jnp.float32), jnp.asarray(sample["adj"]))
+        jnp.asarray(sample["images"], jnp.float32),
+        jnp.asarray(sample["adj"]),
+        variables=_jit_init(model, cfg, sample))
     weights = weights or cfg.weights_filename
     if weights:
         # torch checkpoints are FILES; Orbax checkpoints are DIRECTORIES —
