@@ -101,6 +101,21 @@ def parse_args(argv):
     p.add_argument("--load-db", default=None, metavar="NPZ",
                    help="restore a --save-db snapshot instead of "
                         "embedding the training split (config must match)")
+    # multi-process serving (one process per host, parallel/multihost.py):
+    # weights + database replicate onto the GLOBAL mesh; each query batch
+    # shards over `data` via put_like (every process uploads only its
+    # rows) and results gather back with host_read.  Same flag contract
+    # as cli/train.py.
+    p.add_argument("--coordinator", type=str, default="",
+                   help="host:port of process 0 (enables multi-process)")
+    p.add_argument("--num-processes", type=int, default=1)
+    p.add_argument("--process-id", type=int, default=0)
+    p.add_argument("--local-device-count", type=int, default=0,
+                   help="virtual devices per process (CPU test rigs only)")
+    p.add_argument("--mesh-data", type=int, default=0,
+                   help=">0: shard query batches over a data-axis mesh of "
+                        "this many GLOBAL devices (single- or multi-"
+                        "process); --batch-size must divide it")
     return p.parse_args(argv)
 
 
@@ -187,6 +202,10 @@ def _make_query_batches(q, args, h: int, w: int):
 
 def main(argv=None):
     args = parse_args(argv if argv is not None else sys.argv[1:])
+    if args.coordinator or args.local_device_count:
+        from relpose_gnn_tpu.parallel.multihost import initialize
+        initialize(args.coordinator, args.num_processes, args.process_id,
+                   local_device_count=args.local_device_count or None)
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -260,6 +279,10 @@ def main(argv=None):
     # --- several scenes: one shared executable (MultiSceneService) ---------
     sp = args.sampling_period or (3 if args.dataset == "Cambridge" else 5)
     if len(args.scene) > 1:
+        if args.mesh_data > 0:
+            raise SystemExit("--mesh-data currently serves ONE scene "
+                             "(MultiSceneService mesh serving is a "
+                             "follow-up); pass a single --scene")
         return _serve_multiscene(args, model, model_vars, netvlad, nv_vars,
                                  h, w, rhw, sp)
 
@@ -310,15 +333,19 @@ def main(argv=None):
 
     query_batches, src_indices = _make_query_batches(q, args, h, w)
 
-    # pipelined: while batch i computes on device, the host decodes and
-    # uploads batch i+1..i+depth (evaluation/service.py::query_stream)
     from relpose_gnn_tpu.utils.profiling import trace
-    t0 = time.perf_counter()
-    with trace(args.trace_dir):
-        poses_out = [out["pose"] for out in svc.query_stream(
-            query_batches(), model_norm, depth=args.pipeline_depth,
-            rng=jax.random.PRNGKey(args.seed))]
-    t_serve = time.perf_counter() - t0
+    if args.mesh_data > 0:
+        poses_out, t_serve = _serve_mesh(args, svc, model_norm,
+                                         query_batches)
+    else:
+        # pipelined: while batch i computes on device, the host decodes
+        # and uploads batch i+1..i+depth (service.py::query_stream)
+        t0 = time.perf_counter()
+        with trace(args.trace_dir):
+            poses_out = [out["pose"] for out in svc.query_stream(
+                query_batches(), model_norm, depth=args.pipeline_depth,
+                rng=jax.random.PRNGKey(args.seed))]
+        t_serve = time.perf_counter() - t0
     # trim the static-shape tail padding (see _make_query_batches)
     poses_out = np.concatenate(poses_out)[:len(src_indices)]
     served = len(poses_out)
@@ -328,6 +355,41 @@ def main(argv=None):
 
     err = _report_scene(args, q, poses_out, src_indices, args.out)
     return err
+
+
+def _serve_mesh(args, svc, model_norm, query_batches):
+    """Mesh serving loop (--mesh-data): weights + database replicate onto
+    the global mesh (multi-process aware), each query batch shards over
+    `data`, and every process reads back the full result (host_read =
+    process_allgather across hosts).  One batch in flight: host_read is
+    the per-batch sync point, which on multi-process rigs also keeps
+    collective programs from interleaving (CLAUDE.md XLA:CPU rendezvous
+    note); pipelining across hosts is a pod-scale follow-up."""
+    import time
+
+    import numpy as np
+    import jax
+
+    from relpose_gnn_tpu.parallel.mesh import create_mesh
+    from relpose_gnn_tpu.parallel.multihost import host_read, put_like
+    from relpose_gnn_tpu.parallel.sharding import batch_sharding
+
+    if args.batch_size % args.mesh_data != 0:
+        raise ValueError(f"--batch-size {args.batch_size} must divide "
+                         f"--mesh-data {args.mesh_data}")
+    mesh = create_mesh(n_data=args.mesh_data, n_model=1)
+    svc.replicate_over(mesh)
+    shard = batch_sharding(mesh, 4)
+    print(f"mesh serving: {dict(zip(mesh.axis_names, mesh.devices.shape))}"
+          f" across {jax.process_count()} process(es)")
+    rng = jax.random.PRNGKey(args.seed)
+    poses_out = []
+    t0 = time.perf_counter()
+    with jax.set_mesh(mesh):
+        for batch in query_batches():
+            out = svc.query(put_like(batch, shard), model_norm, rng)
+            poses_out.append(host_read(out["pose"]))
+    return poses_out, time.perf_counter() - t0
 
 
 def _report_scene(args, q, poses_out, src_indices, out_path):

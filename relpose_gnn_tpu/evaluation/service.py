@@ -595,6 +595,34 @@ class RelocalizationService:
 
     # -- multi-chip capacity: sharded tables ---------------------------
 
+    def replicate_over(self, mesh) -> None:
+        """Place weights + database on EVERY device of `mesh` so query
+        batches can shard over its data axis — the THROUGHPUT scaling
+        form (each device serves its rows of the batch; contrast
+        shard_database, which splits the tables for CAPACITY).
+
+        Multi-process aware: placement goes through multihost.put_like,
+        so on a multi-host mesh each process uploads from its own
+        (process-identical) host copy and the assembled global arrays
+        span all hosts — the cli/serve.py --coordinator path
+        (SURVEY §2.4 completed for the serving surface)."""
+        from relpose_gnn_tpu.parallel.multihost import put_like
+        from relpose_gnn_tpu.parallel.sharding import replicate
+
+        assert self.db_desc is not None, "call build()/load_database() first"
+        if self._db_mesh is not None:
+            raise ValueError("database is sharded (shard_database); "
+                             "replicate_over is the replicated-DB form")
+        rep = replicate(mesh)
+        place = lambda x: put_like(np.asarray(x), rep)  # noqa: E731
+        self.model_vars = jax.tree.map(place, self.model_vars)
+        if self.netvlad_vars is not None:
+            self.netvlad_vars = jax.tree.map(place, self.netvlad_vars)
+        self.db_desc = place(self.db_desc)
+        self.db_emb = place(self.db_emb)
+        self.db_poses = place(self.db_poses)
+        self.db_valid = place(self.db_valid)
+
     def shard_database(self, mesh, axis: str | None = None) -> None:
         """Shard the two big tables (desc [M, 32768], emb [M, D]) over a
         mesh axis — multi-chip buys CAPACITY, not just throughput (the

@@ -43,8 +43,6 @@ def initialize(coordinator: str, num_processes: int, process_id: int,
     cross-process collectives need the gloo implementation and
     `local_device_count` virtual devices per process.
     """
-    if num_processes <= 1:
-        return
     if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         # gloo is the only cross-process collective implementation for
         # XLA:CPU; must be set before the backend initializes.  The
@@ -52,9 +50,14 @@ def initialize(coordinator: str, num_processes: int, process_id: int,
         # device discovery probes every registered PJRT plugin unless the
         # config (not just the env var) pins the platform list
         jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_cpu_collectives_implementation", "gloo")
         if local_device_count is not None:
             jax.config.update("jax_num_cpu_devices", local_device_count)
+        if num_processes > 1:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    if num_processes <= 1:
+        # single process: no distributed client, but local_device_count
+        # still applies (CLI mesh runs on one-process CPU rigs)
+        return
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
                                process_id=process_id)
