@@ -209,6 +209,86 @@ def export_tum_trajectory(seq: FrameSeq, path: str) -> None:
                     f"{q[1]:.6f} {q[2]:.6f} {q[3]:.6f} {q[0]:.6f}\n")
 
 
+TUM_INTRINSIC = (525.0, 525.0, 319.5, 239.5, 0.0, 0.0)  # tum_seq2ares.py:88-92
+TUM_DIM = (480, 640)
+
+
+def export_tum_associate(seq: FrameSeq, path: str) -> None:
+    """TUM rgb/depth/pose ASSOCIATION file: one line per frame,
+    `ts rgb_path ts depth_path ts tx ty tz qx qy qz qw` — the
+    `rdpose_associate.txt` layout `read_tum_sequence` ingests (the format
+    `export_to_tum_format(write_img_info=True)` emits,
+    tum_seq2ares.py:63-75).  Poses are camera-to-world, TUM quaternion
+    order (qw LAST)."""
+    from relpose_gnn_tpu.ops import pose as pose_ops
+    import jax.numpy as jnp
+
+    with open(path, "w") as f:
+        for fr in seq.frames:
+            Tcw = np.asarray(fr["extrinsic_Tcw"])
+            R, t = Tcw[:3, :3], Tcw[:3, 3]
+            Rwc, twc = R.T, -R.T @ t
+            q = np.asarray(pose_ops.mat2quat(jnp.asarray(Rwc[None])))[0]
+            ts = f"{fr['timestamp']:.6f}"
+            f.write(f"{ts} {fr['file_name']} {ts} "
+                    f"{fr.get('depth_file_name') or 'none'} {ts} "
+                    f"{twc[0]:.9f} {twc[1]:.9f} {twc[2]:.9f} "
+                    f"{q[1]:.9f} {q[2]:.9f} {q[3]:.9f} {q[0]:.9f}\n")
+
+
+def read_tum_sequence(tum_base_dir: str, seq_name: str) -> FrameSeq:
+    """TUM-RGBD ingest (tum_seq2ares.py:78-133): read a sequence's
+    `rdpose_associate.txt` (rgb + depth + groundtruth pose rows) — or
+    `rd_associate.txt` (no poses; identity Tcw, :119-121) — into a
+    FrameSeq with the TUM Freiburg intrinsics/dims.  Pose rows are
+    camera-to-world `[tx ty tz qx qy qz qw]`; stored extrinsics are the
+    inverted world-to-camera 3x4 like every other loader here."""
+    seq_dir = osp.join(tum_base_dir, seq_name)
+    path = osp.join(seq_dir, "rdpose_associate.txt")
+    with_pose = osp.isfile(path)
+    if not with_pose:
+        path = osp.join(seq_dir, "rd_associate.txt")
+        if not osp.isfile(path):
+            raise FileNotFoundError(
+                f"no rdpose_associate.txt / rd_associate.txt under "
+                f"{seq_dir} (run TUM's associate.py first)")
+    from scipy.spatial.transform import Rotation
+
+    seq = FrameSeq()
+    with open(path) as f:
+        for frame_idx, line in enumerate(ln for ln in f
+                                         if ln.strip()
+                                         and not ln.startswith("#")):
+            tok = line.split()
+            if with_pose:
+                ts, img, _, depth = tok[0], tok[1], tok[2], tok[3]
+                tx, ty, tz, qx, qy, qz, qw = map(float, tok[5:12])
+                Rwc = Rotation.from_quat([qx, qy, qz, qw]).as_matrix()
+                twc = np.array([tx, ty, tz])
+                # invert camera-to-world -> Tcw (tum_seq2ares.py:116-118)
+                Tcw = np.concatenate([Rwc.T, (-Rwc.T @ twc)[:, None]], 1)
+            else:
+                ts, img, _, depth = tok[0], tok[1], tok[2], tok[3]
+                Tcw = np.eye(4)[:3, :]
+            seq.append_frame(frame_idx=frame_idx,
+                             img_file_name=osp.join(seq_name, img),
+                             Tcw=Tcw,
+                             camera_intrinsic=TUM_INTRINSIC,
+                             frame_dim=TUM_DIM,
+                             timestamp=float(ts),
+                             depth_file_name=osp.join(seq_name, depth))
+    return seq
+
+
+def tum_seq_to_json(tum_base_dir: str, seq_name: str,
+                    out_json_path: str) -> FrameSeq:
+    """The `tum_rgbd_seq2ares` CLI tail (tum_seq2ares.py:136-143):
+    ingest + dump the uniform seq.json."""
+    seq = read_tum_sequence(tum_base_dir, seq_name)
+    seq.dump_json(out_json_path)
+    return seq
+
+
 def load_frames_bin(path: str, sampling_period: int = 1) -> list[dict]:
     """Read a frames.bin with strided subsampling
     (dataset_7Scenes_multi.py:157-159)."""

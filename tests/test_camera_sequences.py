@@ -4,6 +4,7 @@ import os.path as osp
 import pickle
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 from scipy.spatial.transform import Rotation
 
@@ -176,3 +177,73 @@ class TestPnP:
         np.testing.assert_allclose(R, R_true, atol=1e-3)
         np.testing.assert_allclose(t, t_true, atol=1e-2)
         assert mask.mean() > 0.9
+
+
+class TestTumIngest:
+    """E3 ingest direction (tum_seq2ares.py:78-143): FrameSeq ->
+    rdpose_associate.txt -> read_tum_sequence round-trips poses, names,
+    timestamps; rd_associate (no poses) yields identity extrinsics."""
+
+    def _make_seq(self, n=5, seed=3):
+        from relpose_gnn_tpu.data.sequences import FrameSeq
+        rng = np.random.default_rng(seed)
+        seq = FrameSeq()
+        for i in range(n):
+            R = Rotation.random(rng=rng).as_matrix()
+            t = rng.normal(size=3)
+            Tcw = np.concatenate([R, t[:, None]], 1)
+            seq.append_frame(i, f"rgb/{i:04d}.png", Tcw,
+                             (525.0, 525.0, 319.5, 239.5, 0, 0),
+                             (480, 640), timestamp=1000.0 + i * 0.033,
+                             depth_file_name=f"depth/{i:04d}.png")
+        return seq
+
+    def test_associate_roundtrip(self, tmp_path):
+        from relpose_gnn_tpu.data.sequences import (export_tum_associate,
+                                                    read_tum_sequence)
+        seq = self._make_seq()
+        d = tmp_path / "rgbd_dataset_freiburg1_room"
+        d.mkdir()
+        export_tum_associate(seq, str(d / "rdpose_associate.txt"))
+        got = read_tum_sequence(str(tmp_path),
+                                "rgbd_dataset_freiburg1_room")
+        assert len(got) == len(seq)
+        for a, b in zip(seq.frames, got.frames):
+            np.testing.assert_allclose(b["extrinsic_Tcw"],
+                                       a["extrinsic_Tcw"], atol=1e-5)
+            assert b["file_name"].endswith(a["file_name"])
+            assert b["depth_file_name"].endswith(a["depth_file_name"])
+            assert abs(b["timestamp"] - a["timestamp"]) < 1e-6
+            np.testing.assert_array_equal(b["camera_intrinsic"],
+                                          np.float32([525, 525, 319.5,
+                                                      239.5, 0, 0]))
+
+    def test_no_pose_variant_and_missing(self, tmp_path):
+        from relpose_gnn_tpu.data.sequences import read_tum_sequence
+        d = tmp_path / "seqA"
+        d.mkdir()
+        with open(d / "rd_associate.txt", "w") as f:
+            f.write("# comment\n")
+            f.write("1000.1 rgb/a.png 1000.1 depth/a.png\n")
+        got = read_tum_sequence(str(tmp_path), "seqA")
+        assert len(got) == 1
+        np.testing.assert_array_equal(got.frames[0]["extrinsic_Tcw"],
+                                      np.eye(4, dtype=np.float32)[:3])
+        with pytest.raises(FileNotFoundError, match="associate"):
+            read_tum_sequence(str(tmp_path), "nope")
+
+    def test_seq_to_json(self, tmp_path):
+        from relpose_gnn_tpu.data.sequences import (FrameSeq,
+                                                    export_tum_associate,
+                                                    tum_seq_to_json)
+        seq = self._make_seq(3)
+        d = tmp_path / "s"
+        d.mkdir()
+        export_tum_associate(seq, str(d / "rdpose_associate.txt"))
+        out = str(tmp_path / "seq.json")
+        tum_seq_to_json(str(tmp_path), "s", out)
+        loaded = FrameSeq(out)
+        assert len(loaded) == 3
+        np.testing.assert_allclose(loaded.frames[1]["extrinsic_Tcw"],
+                                   seq.frames[1]["extrinsic_Tcw"],
+                                   atol=1e-5)
