@@ -22,6 +22,7 @@ import sys as _sys
 
 _sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))
 
+import json
 import time
 
 import numpy as np
@@ -30,7 +31,8 @@ import jax.numpy as jnp
 
 # persistent compilation cache: full-service query-path compiles through
 # the tunnel are minutes each; verified working on this backend
-from benchmarks._util import enable_compile_cache
+from benchmarks._util import (chip_peak_flops, compiled_flops,
+                              enable_compile_cache)
 enable_compile_cache()
 
 from relpose_gnn_tpu.evaluation.service import (RelocalizationService,
@@ -82,6 +84,14 @@ def main():
                          "computes — the VGG16+NetVLAD stage (62%% at "
                          "B=512) disappears entirely; semantic knob, see "
                          "ServiceConfig.retrieval")
+    ap.add_argument("--json", type=str, default="",
+                    help="ALSO write the result record to this path "
+                         "(e.g. SERVICE_r05.json); the record is printed "
+                         "as one JSON line either way")
+    ap.add_argument("--bisect-json", type=str, default="",
+                    help="merge a per-stage bisect record written by "
+                         "bench_service_bisect.py --json into the "
+                         "artifact's 'stage_ms' field")
     args = ap.parse_args()
 
     z = jnp.zeros(())
@@ -150,6 +160,14 @@ def main():
                                       jax.random.PRNGKey(90 + i))["pose"])
     float(acc)
 
+    record = {"protocol": "full service (retrieval in the loop): "
+                          "retrieval + graph assembly + GNN + pose "
+                          "recovery per query, device-resident inputs",
+              "batch": batch, "db": m,
+              "retrieval_mode": args.retrieval_mode,
+              "retrieval_hw": list(rhw),
+              "device": jax.devices()[0].device_kind}
+
     iters = 20
     if not args.skip_device_leg:
         t0 = time.perf_counter()
@@ -162,6 +180,51 @@ def main():
         qps = batch * iters / dt
         print(f"service (retrieval+graph+GNN+pose): {qps:.0f} queries/s "
               f"({dt / iters * 1e3 / batch:.3f} ms/query)", flush=True)
+
+        # MFU of the SAME query program that was timed: AOT-lower the
+        # shared jitted query_fn at the exact arguments the loop passes
+        # (VERDICT r4 weak #2 — the full-service number had no MFU or
+        # versioned artifact; the cached-protocol bench.py has both)
+        flops, hbm_bytes = 0.0, None
+        try:
+            lowered = svc._query_fn.lower(
+                model_norm, svc.model_vars, svc.netvlad_vars,
+                svc.db_desc, svc.db_emb, svc.db_poses, svc.db_valid,
+                pool[0], jax.random.PRNGKey(0), None,
+                db_mesh=None, db_axis=None)
+            compiled = lowered.compile()
+            flops = compiled_flops(compiled)
+            try:
+                ma = compiled.memory_analysis()
+                hbm_bytes = int(ma.temp_size_in_bytes
+                                + ma.argument_size_in_bytes
+                                + ma.output_size_in_bytes)
+            except Exception:
+                pass
+        except Exception as e:  # cost analysis is best-effort, qps is not
+            print(f"cost analysis unavailable: {e!r}", flush=True)
+        peak = chip_peak_flops()
+        mfu = (flops * iters / dt / peak) if (peak and flops) else None
+        record.update(
+            qps=round(qps, 1), ms_per_query=round(dt / iters * 1e3 / batch, 4),
+            flops_per_step=flops or None,
+            mfu=round(mfu, 3) if mfu is not None else None,
+            hbm_bytes=hbm_bytes)
+        if mfu is not None:
+            print(f"mfu: {mfu:.3f} (flops/step {flops:.3e}, "
+                  f"hbm {hbm_bytes})", flush=True)
+
+    if args.bisect_json:
+        with open(args.bisect_json) as f:
+            bis = json.load(f)
+        record["stage_ms"] = bis.get("stage_ms", bis)
+        record["stage_ms_config"] = {k: bis[k] for k in ("batch", "db")
+                                     if k in bis}
+    print(json.dumps(record), flush=True)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(record, f, indent=1)
+        print(f"wrote {args.json}", flush=True)
 
     if args.skip_host_legs:
         return

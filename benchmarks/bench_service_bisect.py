@@ -45,6 +45,10 @@ def main():
                          "run a subset per invocation to stay inside the "
                          "tunnel's compile budget (the persistent cache "
                          "carries compiles across runs)")
+    ap.add_argument("--json", type=str, default="",
+                    help="write {batch, db, stage_ms} to this path "
+                         "(merged into SERVICE_r05.json by bench_service "
+                         "--bisect-json)")
     args = ap.parse_args()
 
     from relpose_gnn_tpu.evaluation.service import (RelocalizationService,
@@ -166,6 +170,12 @@ def main():
                                        "gnn"))
         print(f"sum(stages) {parts:.2f} ms vs full {times['full']:.2f} ms "
               f"(overlap {parts - times['full']:+.2f} ms)", flush=True)
+    if args.json:
+        import json
+        with open(args.json, "w") as f:
+            json.dump({"batch": b, "db": m, "stage_ms":
+                       {k: round(v, 3) for k, v in times.items()}}, f)
+        print(f"wrote {args.json}", flush=True)
 
 
 if __name__ == "__main__":
