@@ -81,6 +81,15 @@ def parse_args(argv):
                         "SEMANTIC knob: neighbor sets change; validate "
                         "ranking quality per scene (tests/test_service.py "
                         "measures synthetic-scene overlap)")
+    p.add_argument("--rank-dtype", default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="descriptor-TABLE dtype for similarity ranking: "
+                        "bfloat16 halves the bandwidth-bound rank "
+                        "matmul's table reads AND the table's HBM "
+                        "footprint; similarities still accumulate in "
+                        "f32.  SEMANTIC knob — exact iff the database's "
+                        "top-k cosine gaps exceed ~1e-4 (see "
+                        "ServiceConfig.rank_dtype)")
     p.add_argument("--pipeline-depth", type=int, default=2,
                    help="query batches kept in flight (query_stream); "
                         "host decode + upload overlap device compute")
@@ -301,7 +310,8 @@ def main(argv=None):
                       retrieval_hw=rhw,
                       deterministic=args.deterministic,
                       capacity=args.capacity,
-                      retrieval=args.retrieval_mode),
+                      retrieval=args.retrieval_mode,
+                      rank_dtype=args.rank_dtype),
         fold_bn=not args.no_fold_bn)
 
     if args.load_db:
@@ -443,7 +453,8 @@ def _serve_multiscene(args, model, model_vars, netvlad, nv_vars,
         model, model_vars, netvlad, nv_vars,
         ServiceConfig(seq_len=args.seq_len, sampling_period=sp,
                       retrieval_hw=rhw, deterministic=args.deterministic,
-                      capacity=capacity, retrieval=args.retrieval_mode),
+                      capacity=capacity, retrieval=args.retrieval_mode,
+                      rank_dtype=args.rank_dtype),
         fold_bn=not args.no_fold_bn)
 
     if args.load_db:

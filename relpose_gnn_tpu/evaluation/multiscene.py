@@ -112,7 +112,8 @@ class MultiSceneService:
             else:
                 desc = svc.netvlad.apply(svc.netvlad_vars,
                                          svc._netvlad_input(chunk))
-            return desc, emb
+            # same table-rounding contract as the single-scene embed
+            return desc.astype(svc._rank_dt), emb
 
         return embed_ms
 
@@ -320,8 +321,10 @@ class MultiSceneService:
                     f"scene {name!r} snapshot rows ({m}) != capacity "
                     f"({cap}); saved under a different ServiceConfig")
             restored[name] = SceneDatabase(
+                # cast to THIS service's rank_dtype (same contract as the
+                # single-scene loader; see ServiceConfig.rank_dtype)
                 desc=jnp.asarray(z[f"{name}/desc"]).astype(
-                    str(z[f"{name}/desc_dtype"])),
+                    self._svc._rank_dt),
                 emb=jnp.asarray(z[f"{name}/emb"]).astype(
                     str(z[f"{name}/emb_dtype"])),
                 poses=jnp.asarray(z[f"{name}/poses"]),

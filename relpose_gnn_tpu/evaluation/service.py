@@ -292,6 +292,25 @@ class ServiceConfig:
     #                    copy so growth/compaction/persistence stay
     #                    uniform across modes — [M, feat_dim] f32, 16x
     #                    SMALLER than NetVLAD's [M, 32768].
+    rank_dtype: str = "float32"
+    # ^ descriptor-TABLE dtype for the similarity ranking.  "bfloat16"
+    #   halves both the rank matmul's HBM traffic (the stage is
+    #   bandwidth-bound: it reads the whole [M, 32768] table per batch —
+    #   512 MB at M=4096 f32, ~4x its FLOP time; measured 1.7x on the
+    #   stage, bench_retrieval_stages.py --stage rank) and the table's
+    #   resident footprint (what caps DB capacity per chip alongside
+    #   db_emb).  Similarities always ACCUMULATE in f32
+    #   (preferred_element_type); only the stored descriptors round.
+    #   SEMANTIC knob, default OFF.  Measured quality contract
+    #   (tests/test_service.py::TestRankDtype): the rounding perturbs
+    #   cosine similarities by <~1e-4 absolute, so rankings are exact
+    #   WHEN the database's top-k cosine gaps exceed that — validate the
+    #   gap distribution on YOUR database before enabling.  (Untrained
+    #   synthetic descriptors have ~1e-6 gaps — degenerate near-ties —
+    #   so no offline overlap number is quotable here; see the test.)
+    #   Snapshots record the dtype; load casts to the loading service's
+    #   configured rank_dtype (bf16->f32 widening is exact; f32->bf16
+    #   equals what a fresh bf16 build would store).
 
 
 class RelocalizationService:
@@ -305,6 +324,10 @@ class RelocalizationService:
         if cfg.retrieval not in ("netvlad", "shared-trunk"):
             raise ValueError(f"unknown retrieval mode {cfg.retrieval!r}: "
                              "expected 'netvlad' or 'shared-trunk'")
+        if cfg.rank_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown rank_dtype {cfg.rank_dtype!r}: "
+                             "expected 'float32' or 'bfloat16'")
+        self._rank_dt = jnp.dtype(cfg.rank_dtype)
         if cfg.retrieval == "netvlad" and netvlad is None:
             raise ValueError("retrieval='netvlad' needs a NetVLAD encoder "
                              "(pass netvlad/netvlad_vars, or use "
@@ -374,7 +397,10 @@ class RelocalizationService:
             else:
                 desc = self.netvlad.apply(self.netvlad_vars,
                                           self._netvlad_input(chunk))
-            return desc, emb
+            # the TABLE rounds to rank_dtype once here (build/add_frames
+            # both embed through this program); queries cast at the
+            # matmul and similarities accumulate f32
+            return desc.astype(self._rank_dt), emb
 
         self._embed = embed  # reused by add_frames (same jit cache)
         self._model_norm = model_norm  # embed traced it in; see add_frames
@@ -583,7 +609,10 @@ class RelocalizationService:
                 "mixed-resolution descriptors are not comparable — rebuild "
                 "the database (or match the config)")
         _check_fingerprint(z, self.model_vars, path)
-        self.db_desc = jnp.asarray(z["desc"]).astype(str(z["desc_dtype"]))
+        # cast to THIS service's rank_dtype, not the snapshot's: bf16->
+        # f32 widening is exact, and f32->bf16 equals what a fresh bf16
+        # build would store (embed rounds the same f32 descriptor once)
+        self.db_desc = jnp.asarray(z["desc"]).astype(self._rank_dt)
         self.db_emb = jnp.asarray(z["emb"]).astype(str(z["emb_dtype"]))
         self.db_poses = jnp.asarray(z["poses"])
         self.db_valid = jnp.asarray(z["valid"])
@@ -745,7 +774,13 @@ class RelocalizationService:
                     deterministic=cfg.deterministic,
                     candidates=cfg.retrieval_candidates, rng=rng)
             else:
-                sim = q_desc @ db_desc.T                  # [B, M]
+                # table dtype = cfg.rank_dtype (bf16 halves the
+                # bandwidth-bound table read); f32 accumulation keeps the
+                # ranking key's precision at the table's rounding, not
+                # the MXU's
+                sim = jnp.einsum("bd,md->bm",
+                                 q_desc.astype(db_desc.dtype), db_desc,
+                                 preferred_element_type=jnp.float32)
 
             # 2. neighbor selection (db_valid masks capacity padding —
             # all-True without `capacity`, in which case both branches

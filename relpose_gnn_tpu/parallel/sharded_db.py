@@ -113,7 +113,11 @@ def select_and_lookup(q_desc: jax.Array, desc: jax.Array, emb: jax.Array,
 
     def body(qd, desc_l, emb_l, valid_l, drop_bits, starts):
         i = jax.lax.axis_index(axis)
-        sim = qd @ desc_l.T                              # [B, m_l]
+        # honor the table's rank_dtype (ServiceConfig.rank_dtype): cast
+        # the query side, accumulate f32 — bitwise the same key as the
+        # replicated branch's einsum for any table dtype
+        sim = jnp.einsum("bd,md->bm", qd.astype(desc_l.dtype), desc_l,
+                         preferred_element_type=jnp.float32)  # [B, m_l]
         if deterministic:
             val = jnp.where(valid_l[None, :], sim, -jnp.inf)
         else:

