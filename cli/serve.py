@@ -223,7 +223,9 @@ def main(argv=None):
                                                     ServiceConfig)
     from relpose_gnn_tpu.models.netvlad import NetVLADEncoder
     from relpose_gnn_tpu.training.experiment import (ExperimentConfig,
+                                                     _enable_compile_cache,
                                                      build_model)
+    _enable_compile_cache()
     from relpose_gnn_tpu.training import checkpoints as ckpt
     from relpose_gnn_tpu.training.trainer import (TrainerConfig,
                                                   create_train_state)

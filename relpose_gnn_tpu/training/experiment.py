@@ -236,6 +236,21 @@ def evaluate_scene(eval_step, state, ds: PackedGraphDataset,
                                pose_mean=mean_t, pose_std=std_t)
 
 
+def _enable_compile_cache() -> None:
+    """Persistent compilation cache on accelerator backends (verified
+    working through the axon tunnel; CLAUDE.md): full-model compiles are
+    minutes cold, seconds warm — the training CLIs should never re-pay a
+    compile the benchmarks already cached.  No-op on CPU (tests) and when
+    the user already configured a cache dir."""
+    if jax.default_backend() == "cpu":
+        return
+    if jax.config.jax_compilation_cache_dir:
+        return
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def _jit_init(model, cfg: ExperimentConfig, sample: dict):
     """Jitted model.init on accelerator backends: eager init dispatches one
     tiny op per param initializer, each paying the dev tunnel's ~30 ms RTT
@@ -250,6 +265,7 @@ def _jit_init(model, cfg: ExperimentConfig, sample: dict):
 
 
 def run_training(cfg: ExperimentConfig) -> dict:
+    _enable_compile_cache()
     logdir = Path(cfg.save_dir) / cfg.dataset / cfg.train_scene / cfg.exp_name
     logger = get_logger(logfile=str(logdir / "logger.log"))
     metrics_out = MetricsWriter(str(logdir / "metrics.jsonl"))
@@ -515,6 +531,7 @@ def run_eval(cfg: ExperimentConfig, weights: str | None = None,
     graph stores that carry nbr_idx, uses the cached-embedding serving path
     (evaluation/serving.py) — identical predictions, ~N x less backbone
     work."""
+    _enable_compile_cache()
     logdir = Path(cfg.save_dir) / cfg.dataset / cfg.test_scene / cfg.exp_name
     logger = get_logger(logfile=str(logdir / "eval.log"))
     # test stores ONLY — eval must not require the train stores to exist
