@@ -384,13 +384,6 @@ def run_training(cfg: ExperimentConfig) -> dict:
     mean_t, std_t = pose_stats(cfg)
     rng = jax.random.PRNGKey(cfg.seed)
 
-    # repo convention: multi-device programs trace under jax.set_mesh so
-    # mesh-aware modules (the Pallas attention core's shard_map wrapper,
-    # models/attention.py) can see the ambient mesh
-    import contextlib
-    mesh_ctx = (jax.set_mesh(mesh) if batch_shardings is not None
-                else contextlib.nullcontext())
-
     cached_train = cached_test = None
     if cfg.device_cache:
         if batch_shardings is not None:
@@ -411,7 +404,17 @@ def run_training(cfg: ExperimentConfig) -> dict:
         # epochs too (the loop persists per-scene eval medians to
         # metrics.jsonl exactly for this)
         _fold_best_from_metrics(metrics_out.path, best)
-    with mesh_ctx:
+    # repo convention: multi-device programs trace under jax.set_mesh so
+    # mesh-aware modules (the Pallas attention core's shard_map wrapper,
+    # models/attention.py) can see the ambient mesh.  jax.set_mesh applies
+    # GLOBALLY at call time (the context manager only restores on exit),
+    # so it must be created inside the `with` itself — constructing it
+    # earlier leaks the global mesh if anything raises before entry
+    # (measured: the device_cache-on-mesh rejection used to poison every
+    # later trace in the process with a stale AbstractMesh).
+    import contextlib
+    with (jax.set_mesh(mesh) if batch_shardings is not None
+          else contextlib.nullcontext()):
         return _training_loop(cfg, tcfg, logger, metrics_out, train_feed,
                               test_ds, batch_size, state, train_step,
                               eval_step, batch_shardings, sync_steps,
@@ -600,12 +603,13 @@ def run_eval(cfg: ExperimentConfig, weights: str | None = None,
                     dict(zip(mesh.axis_names, mesh.devices.shape)))
 
     # trace under the ambient mesh (see run_training) so the fused
-    # attention kernel stays enabled through its shard_map wrapper
+    # attention kernel stays enabled through its shard_map wrapper;
+    # jax.set_mesh applies globally at call time, so create it inside
+    # the `with` (see run_training's note on the leak hazard)
     import contextlib
-    mesh_ctx = (jax.set_mesh(mesh) if mesh is not None
-                else contextlib.nullcontext())
     results = {}
-    with mesh_ctx:
+    with (jax.set_mesh(mesh) if mesh is not None
+          else contextlib.nullcontext()):
         for s, ds in test_ds.items():
             if serving_data_path is not None and ds.nbr_idx is not None:
                 err = _evaluate_scene_serving(cfg, model, state, ds, s,

@@ -129,3 +129,12 @@ class TestTrainingIntegration:
             mesh_data=2, device_cache=True)
         with pytest.raises(ValueError, match="single-chip"):
             run_training(cfg)
+        # regression: jax.set_mesh applies globally at CALL time, so a
+        # rejection raised between creating the context manager and
+        # entering it used to leak the 2x1 mesh into the process-global
+        # abstract mesh, poisoning every later trace (the 4x2 mesh test
+        # in test_experiment.py failed with a mesh-mismatch
+        # ShardingTypeError).  run_training must not disturb the ambient
+        # mesh on the error path.
+        assert not jax.sharding.get_abstract_mesh().shape_tuple, \
+            "run_training leaked a global mesh on the rejection path"
