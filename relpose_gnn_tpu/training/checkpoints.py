@@ -31,12 +31,25 @@ def _manager(logdir: str, max_to_keep: int = 5) -> ocp.CheckpointManager:
 
 def save_checkpoint(logdir: str, state, epoch: int,
                     max_to_keep: int = 5) -> None:
-    """Persist the full train state under `logdir/<epoch>/`."""
-    mgr = _manager(logdir, max_to_keep)
+    """Persist the full train state under `logdir/<epoch>/`.
+
+    On single-process accelerator backends the state is pulled to host
+    FIRST as one `jax.device_get` transfer and Orbax is handed numpy
+    arrays.  Orbax's own save path fetches every array from its
+    thread pool; through the single-socket axon tunnel those concurrent
+    D2H reads can deadlock the client (observed round 5: a 150-epoch
+    campaign hung at its 13th periodic save with the .orbax-checkpoint-tmp
+    frozen at 84 KB, and killing the stuck client wedged the far side).
+    One batched synchronous fetch serializes the transfer and keeps
+    Orbax's threads purely on local disk I/O.  Multi-process saves keep
+    the sharded-array path (each process must write only its shards)."""
     payload = {"params": state.params,
                "batch_stats": state.batch_stats,
                "opt_state": state.opt_state,
                "step": state.step}
+    if jax.process_count() == 1 and jax.default_backend() != "cpu":
+        payload = jax.device_get(payload)
+    mgr = _manager(logdir, max_to_keep)
     mgr.save(epoch, args=ocp.args.StandardSave(payload))
     mgr.wait_until_finished()
     mgr.close()
