@@ -288,6 +288,18 @@ class ServiceConfig:
     #                    neighbor sets change; validate ranking quality
     #                    per deployment (tests/test_service.py measures
     #                    synthetic-scene overlap vs the NetVLAD path).
+    #                    TRAINED-weights end-task A/B (REGATE_r05.json,
+    #                    benchmarks/regate_shared_trunk.py: 7 synthetic
+    #                    scenes, DB=train/queries=test through this
+    #                    service at 256x341, campaign ckpt): across-scene
+    #                    medians 0.179 m/4.66 deg (shared-trunk) vs
+    #                    0.193 m/4.75 deg (untrained-VGG16 netvlad) —
+    #                    END-TASK PARITY with almost disjoint neighbor
+    #                    sets (top-4 overlap ~0.11): the trained GNN
+    #                    recovers equally good poses from differently
+    #                    ranked neighbors when scene coverage is dense.
+    #                    Real-scene validation (trained NetVLAD weights,
+    #                    released datasets) remains per-deployment.
     #                    The desc table keeps its own (normalized f32)
     #                    copy so growth/compaction/persistence stay
     #                    uniform across modes — [M, feat_dim] f32, 16x
